@@ -1,0 +1,48 @@
+"""SparkSession factory for the engine.
+
+Local-mode tuning notes (sandbox runs local[N] in one JVM):
+- ``spark.sql.shuffle.partitions`` is set to ~cores, not the 200 default.
+- AQE is enabled so skewed shuffles re-plan at runtime; explicit salting in
+  the index build handles groupBy-build skew that AQE cannot (SURVEY.md P11).
+- Arrow is enabled for every pandas-UDF boundary.
+- Session timezone pinned to UTC so timestamps compare exactly against the
+  DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | str = "*",
+    app_name: str = "jvector_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the engine.
+
+    ``cores`` maps to ``local[cores]``; shuffle partitions default to the
+    core count (or 32 for ``*``).
+    """
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cores in ("*",) else int(cores)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
