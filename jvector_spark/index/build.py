@@ -1,0 +1,339 @@
+"""Inverted-index build pipeline (SURVEY.md §3.1 Spark translation).
+
+Stages (reference analog: GraphIndexBuilder.build → cleanup → write,
+jvector-base/.../graph/GraphIndexBuilder.java:439-511):
+
+  1. **Stage the enriched term-frequency relation** — tokenize (JVM-side),
+     tf/df/dl stats, per-posting exact BM25 contribution (static at build
+     time because BM25 depends only on corpus stats), salt assignment for
+     hot terms — and write it to a staging directory hive-partitioned by
+     ``part_id`` (deterministic hash bucket of (term_id, salt)). One shuffle.
+  2. **Per-part encode** — for each part not yet marked complete in
+     ``build_lineage``: read only that directory partition, sort within
+     partitions by (term_id, salt, doc_id), and run a fully vectorized
+     mapInPandas encoder that emits fused posting blocks (delta+varint
+     docID gaps, varint tfs + dls inline, block-max metadata). Each part
+     commit appends a lineage row — the checkpoint unit (analog of
+     OnHeapGraphIndex save/load + CheckpointManager.java:33-112, B11/B12).
+     A killed build resumes by skipping completed parts; the final index is
+     logically identical to a single-shot build (tested).
+
+Skew (SURVEY.md P11): a term with df > ``salt_threshold`` is split into
+``n_salts`` doc-range sub-lists — salt = doc_id * n_salts // n_docs — so a
+hot term's postings land in multiple shuffle groups. Doc-range (not hash)
+salting keeps every (term, salt) run sorted and doc-disjoint, which the
+WAND query path exploits for block skipping.
+
+Scale notes: per-posting dl is stored inline in each block (varint, ~1
+byte) so query-time exact scoring never joins the corpus-sized doc_stats
+table — the fused-feature trick (FusedPQ.java:75-122). The only
+corpus-sized shuffles in the whole build are the tf groupBy and the
+repartition-by-(term_id, salt).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import BLOCK_SIZE, BM25_B, BM25_K1
+from ..functions.analysis import TOKEN_PATTERN
+from ..functions.bm25 import bm25_term_score_col
+from ..operators.text_stats import dictionary as build_dictionary
+from ..operators.text_stats import doc_stats, term_freq
+from .codec import varint_encode
+from .storage import FORMAT_VERSION, read_table, table_path, write_table
+
+POSTINGS_SCHEMA = (
+    "term_id long, salt int, block_id int, n int, base long, max_doc_id long, "
+    "max_tf long, max_score_bound double, doc_ids_packed binary, "
+    "tfs_packed binary, dls_packed binary"
+)
+
+
+def _varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode the whole array once; also return per-value byte
+    lengths so callers can slice out sub-ranges without re-encoding."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    vv = v.copy()
+    while np.any(vv > 0):
+        nbits[vv > 0] += 1
+        vv >>= np.uint64(7)
+    nbits[v == 0] = 1
+    return varint_encode(v), nbits
+
+
+def encode_partition_pdf(
+    pdf: pd.DataFrame, block_size: int = BLOCK_SIZE
+) -> pd.DataFrame:
+    """Vectorized block encoder for one (already filtered) partition of the
+    enriched tf relation. Expects columns term_id, salt, doc_id, tf, dl,
+    contrib; rows may arrive unsorted. Emits one row per posting block.
+
+    Everything except the final per-block byte slicing is numpy-vectorized
+    across the whole partition — the Arrow-batch equivalent of the
+    reference's SIMD bulk kernels (PanamaVectorUtilSupport.java).
+    """
+    if len(pdf) == 0:
+        return _empty_postings_pdf()
+    pdf = pdf.sort_values(["term_id", "salt", "doc_id"], kind="mergesort")
+    term = pdf["term_id"].to_numpy(np.int64)
+    salt = pdf["salt"].to_numpy(np.int32)
+    d = pdf["doc_id"].to_numpy(np.int64)
+    tf = pdf["tf"].to_numpy(np.int64)
+    dl = pdf["dl"].to_numpy(np.int64)
+    contrib = pdf["contrib"].to_numpy(np.float64)
+    n = len(d)
+
+    group_start = np.ones(n, dtype=bool)
+    group_start[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+    # position within (term, salt) group
+    gidx = np.cumsum(group_start) - 1
+    first_of_group = np.flatnonzero(group_start)
+    pos = np.arange(n) - first_of_group[gidx]
+    blk_in_group = pos // block_size
+    block_start = group_start | (pos % block_size == 0)
+
+    prev_d = np.empty(n, dtype=np.int64)
+    prev_d[1:] = d[:-1]
+    # A group's first gap is 0 and its base is the first doc itself: this
+    # keeps every block's [base, max_doc_id] range tight (a base of 0 would
+    # make the first block of every (term, salt) run appear to span all of
+    # doc space, gutting block-max pruning).
+    prev_d[group_start] = d[group_start]
+    gaps = (d - prev_d).astype(np.uint64)
+
+    id_buf, id_len = _varint_encode_with_lengths(gaps)
+    tf_buf, tf_len = _varint_encode_with_lengths(tf.astype(np.uint64))
+    dl_buf, dl_len = _varint_encode_with_lengths(dl.astype(np.uint64))
+    id_off = np.concatenate(([0], np.cumsum(id_len)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_len)))
+    dl_off = np.concatenate(([0], np.cumsum(dl_len)))
+
+    starts = np.flatnonzero(block_start)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = n
+    # base: the group's first doc at a group's first block (gap there is 0),
+    # else the last doc of the previous block
+    base = np.where(starts == first_of_group[gidx[starts]], d[starts], d[starts - 1])
+
+    out = {
+        "term_id": term[starts],
+        "salt": salt[starts],
+        "block_id": blk_in_group[starts].astype(np.int32),
+        "n": (ends - starts).astype(np.int32),
+        "base": base,
+        "max_doc_id": d[ends - 1],
+        "max_tf": np.maximum.reduceat(tf, starts),
+        "max_score_bound": np.maximum.reduceat(contrib, starts),
+        "doc_ids_packed": [
+            id_buf[id_off[s] : id_off[e]] for s, e in zip(starts, ends)
+        ],
+        "tfs_packed": [tf_buf[tf_off[s] : tf_off[e]] for s, e in zip(starts, ends)],
+        "dls_packed": [dl_buf[dl_off[s] : dl_off[e]] for s, e in zip(starts, ends)],
+    }
+    res = pd.DataFrame(out)
+    res["salt"] = res["salt"].astype("int32")
+    return res
+
+
+def _empty_postings_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "term_id": pd.Series(dtype="int64"),
+            "salt": pd.Series(dtype="int32"),
+            "block_id": pd.Series(dtype="int32"),
+            "n": pd.Series(dtype="int32"),
+            "base": pd.Series(dtype="int64"),
+            "max_doc_id": pd.Series(dtype="int64"),
+            "max_tf": pd.Series(dtype="int64"),
+            "max_score_bound": pd.Series(dtype="float64"),
+            "doc_ids_packed": pd.Series(dtype=object),
+            "tfs_packed": pd.Series(dtype=object),
+            "dls_packed": pd.Series(dtype=object),
+        }
+    )
+
+
+def _encode_map_fn(block_size: int):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Concatenate the partition's Arrow batches: groups are confined to
+        # one partition by the repartition(term_id, salt) upstream, but may
+        # span batches within it. Memory = one shuffle partition (sized via
+        # spark.sql.shuffle.partitions).
+        batches = [p for p in it]
+        if not batches:
+            yield _empty_postings_pdf()
+            return
+        yield encode_partition_pdf(pd.concat(batches, ignore_index=True), block_size)
+
+    return fn
+
+
+def build_index(
+    corpus: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_map_cols: list[str] | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    block_size: int = BLOCK_SIZE,
+    salt_threshold: int = 4096,
+    target_salt_postings: int = 4096,
+    n_parts: int = 8,
+    resume: bool = False,
+    fail_after_parts: int | None = None,
+    keep_staging: bool = False,
+) -> dict:
+    """Build (or resume) the full index at ``index_dir``. Returns build
+    metrics. ``fail_after_parts`` injects a crash after that many part
+    commits (for resume tests — the analog of the reference's checkpoint
+    kill/restart tests)."""
+    spark = corpus.sparkSession
+    staging_dir = os.path.join(index_dir, "_staging_tf")
+    lineage_path = table_path(index_dir, "build_lineage")
+
+    stage1_done = resume and os.path.exists(
+        os.path.join(index_dir, "segments", "_SUCCESS")
+    )
+    if not stage1_done:
+        corpus = corpus.persist()
+        tf = term_freq(corpus, text_col, id_col)
+        dstats = doc_stats(corpus, text_col, id_col)
+        n_docs, avgdl = dstats.agg(
+            F.count("*"), F.avg("dl")
+        ).collect()[0]
+        n_docs, avgdl = int(n_docs), float(avgdl)
+
+        dct = build_dictionary(tf, id_col=id_col).withColumn(
+            "n_salts",
+            F.when(
+                F.col("df") > salt_threshold,
+                F.ceil(F.col("df") / F.lit(target_salt_postings)).cast("int"),
+            ).otherwise(F.lit(1)),
+        )
+        write_table(dct, index_dir, "dictionary")
+        write_table(dstats, index_dir, "doc_stats")
+        if doc_map_cols:
+            write_table(
+                corpus.select(id_col, *doc_map_cols), index_dir, "doc_map"
+            )
+
+        dct_r = read_table(spark, index_dir, "dictionary")
+        enriched = (
+            tf.join(dct_r.select("term", "term_id", "df", "n_salts"), "term")
+            .join(dstats, id_col)
+            .withColumn(
+                "salt",
+                F.least(
+                    (F.col(id_col) * F.col("n_salts") / F.lit(n_docs)).cast("int"),
+                    F.col("n_salts") - 1,
+                ).cast("int"),
+            )
+            .withColumn(
+                "contrib",
+                bm25_term_score_col(
+                    F.col("tf"), F.col("df"), F.col("dl"),
+                    F.lit(n_docs), F.lit(avgdl), k1=k1, b=b,
+                ),
+            )
+            .withColumn(
+                "part_id",
+                F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_parts)).cast("int"),
+            )
+            .select(
+                "part_id", "term_id", "salt",
+                F.col(id_col).alias("doc_id"), "tf", "dl", "contrib",
+            )
+        )
+        enriched.write.mode("overwrite").partitionBy("part_id").parquet(staging_dir)
+
+        seg = spark.createDataFrame(
+            [
+                (
+                    FORMAT_VERSION, n_docs, avgdl, float(k1), float(b),
+                    int(block_size), TOKEN_PATTERN, int(n_parts),
+                )
+            ],
+            "format_version int, n_docs long, avgdl double, k1 double, b double, "
+            "block_size int, token_pattern string, n_parts int",
+        )
+        write_table(seg, index_dir, "segments")  # stage-1 completion marker
+        corpus.unpersist()
+
+    done_parts: set[int] = set()
+    if resume and os.path.exists(lineage_path):
+        done_parts = {
+            r.part_id
+            for r in read_table(spark, index_dir, "build_lineage")
+            .filter(F.col("status") == "complete")
+            .collect()
+        }
+
+    committed = 0
+    for p in range(n_parts):
+        if p in done_parts:
+            continue
+        part_src = os.path.join(staging_dir, f"part_id={p}")
+        if not os.path.exists(part_src):
+            # empty hash bucket — record it complete so resume skips it
+            spark.createDataFrame(
+                [(p, 0, 0, 0, "complete")],
+                "part_id int, docs_indexed long, postings_emitted long, "
+                "bytes_compressed long, status string",
+            ).write.mode("append").parquet(lineage_path)
+            committed += 1
+            continue
+        part = spark.read.parquet(part_src)
+        blocks = (
+            part.repartition("term_id", "salt")
+            .mapInPandas(_encode_map_fn(block_size), schema=POSTINGS_SCHEMA)
+        )
+        out_path = os.path.join(table_path(index_dir, "postings"), f"part_id={p}")
+        blocks.write.mode("overwrite").parquet(out_path)
+
+        # lineage metrics from what was actually written (reconciled by tests)
+        written = spark.read.parquet(out_path)
+        m = written.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
+            (
+                F.coalesce(F.sum(F.length("doc_ids_packed")), F.lit(0))
+                + F.coalesce(F.sum(F.length("tfs_packed")), F.lit(0))
+                + F.coalesce(F.sum(F.length("dls_packed")), F.lit(0))
+            ).alias("bytes"),
+        ).collect()[0]
+        docs = part.select("doc_id").distinct().count()
+        lineage_row = spark.createDataFrame(
+            [(p, int(docs), int(m["postings"]), int(m["bytes"]), "complete")],
+            "part_id int, docs_indexed long, postings_emitted long, "
+            "bytes_compressed long, status string",
+        )
+        lineage_row.write.mode("append").parquet(lineage_path)
+        committed += 1
+        if fail_after_parts is not None and committed >= fail_after_parts:
+            raise RuntimeError(f"injected failure after {committed} part commits")
+
+    if not keep_staging:
+        import shutil
+
+        shutil.rmtree(staging_dir, ignore_errors=True)
+
+    lineage = read_table(spark, index_dir, "build_lineage")
+    totals = lineage.agg(
+        F.sum("postings_emitted").alias("postings"),
+        F.sum("bytes_compressed").alias("bytes"),
+    ).collect()[0]
+    return {
+        "parts": n_parts,
+        "parts_built": committed,
+        "postings_emitted": int(totals["postings"]),
+        "bytes_compressed": int(totals["bytes"]),
+    }

@@ -1,0 +1,77 @@
+"""Index storage layout — "Iceberg-shaped" Parquet tables.
+
+The v1 sandbox image has no iceberg-spark-runtime jar, so the index is laid
+out as plain Parquet directories with the exact table schemas an Iceberg
+catalog would hold (SURVEY.md §7 M2 errata: decide Parquet-vs-Iceberg at M2
+start — decided: Parquet, same layout; swapping the writer for
+``df.writeTo(...).append()`` is a one-liner once the jar exists).
+
+Layout (reference analog: the versioned on-disk graph format,
+jvector-base/.../graph/disk/OnDiskGraphIndex.java:72, CommonHeader.java:59-152):
+
+    <index_dir>/
+      segments/       1 row: format_version, n_docs, avgdl, k1, b,
+                      block_size, token_pattern   (the header/footer analog)
+      dictionary/     term, term_id, df, cf, n_salts
+      postings/       part_id, term_id, salt, block_id, n, base,
+                      max_doc_id, max_tf, max_score_bound,
+                      doc_ids_packed, tfs_packed, dls_packed
+                      — block-max metadata FUSED inline with the packed
+                      payload (one scan serves prune+score, the analog of
+                      FusedPQ packing neighbor codes with adjacency,
+                      graph/disk/feature/FusedPQ.java:75-122); Parquet column
+                      pruning lets meta-only scans skip the binary columns,
+                      so no separate block_meta table is materialized.
+      doc_stats/      doc_id, dl
+      doc_map/        doc_id + the source's natural-key columns
+      build_lineage/  part_id, docs_indexed, postings_emitted,
+                      bytes_compressed, status  (checkpoint/resume, the
+                      analog of OnHeapGraphIndex save/load + CheckpointManager,
+                      GraphIndexBuilder.java:865-969)
+
+``postings/`` is hive-partitioned by ``part_id`` (a deterministic hash
+bucket of (term_id, salt)) so query-time term lookups prune directories —
+the analog of jvector only seeking the adjacency regions the search
+touches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FORMAT_VERSION = 1
+
+TABLES = ("segments", "dictionary", "postings", "doc_stats", "doc_map", "build_lineage")
+
+
+def table_path(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, name)
+
+
+def write_table(df: DataFrame, index_dir: str, name: str, mode: str = "overwrite",
+                partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(table_path(index_dir, name))
+
+
+def read_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(index_dir, name))
+
+
+def read_segments(spark: SparkSession, index_dir: str) -> dict:
+    """The single segments row as a plain dict (header metadata)."""
+    return read_table(spark, index_dir, "segments").collect()[0].asDict()
+
+
+def block_meta(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Meta-only view over the fused postings table; Parquet column pruning
+    means this scan never reads the packed binary columns."""
+    return read_table(spark, index_dir, "postings").select(
+        "term_id", "salt", "block_id", "n", "base", "max_doc_id", "max_tf",
+        "max_score_bound",
+    )

@@ -29,6 +29,15 @@ def get_spark(
     """
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores in ("*",) else int(cores)
+    # Python executor workers do not inherit the driver's sys.path — make the
+    # package importable on workers regardless of cwd. This is the local-mode
+    # stand-in for `spark-submit --py-files jvector_spark.zip` on a cluster.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

@@ -1,0 +1,157 @@
+"""Index build/query correctness: decode round-trip, indexed == brute-force
+== oracle, pruned == unpruned, salted == unsalted, kill/resume, lineage
+reconciliation (the analogs of the reference's on-disk round-trip, fused-vs-
+unfused equality, and checkpoint tests — TestOnDiskGraphIndex.java:77-464,
+TestFusedGraphIndex.java:183-235, CheckpointManager.java:33-112)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, corpus):
+    from jvector_spark.index.build import build_index
+
+    d = str(tmp_path_factory.mktemp("idx"))
+    # low salt threshold so hot terms really take the salted path at test scale
+    build_index(
+        corpus,
+        d,
+        doc_map_cols=["conv_id", "turn_idx"],
+        salt_threshold=64,
+        target_salt_postings=64,
+        n_parts=4,
+    )
+    return d
+
+
+def test_decode_roundtrip_equals_term_freq(spark, corpus, index_dir):
+    from jvector_spark.index.query import decode_postings
+    from jvector_spark.operators import dictionary, term_freq
+
+    tf = term_freq(corpus)
+    dct = dictionary(tf)
+    expected = (
+        tf.join(dct.select("term", "term_id"), "term")
+        .select("term_id", "doc_id", "tf")
+        .orderBy("term_id", "doc_id")
+        .collect()
+    )
+    got = (
+        decode_postings(spark, index_dir)
+        .select("term_id", "doc_id", "tf")
+        .orderBy("term_id", "doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in expected]
+
+
+def test_salting_actually_splits_hot_terms(spark, index_dir):
+    from jvector_spark.index.storage import read_table
+
+    p = read_table(spark, index_dir, "postings")
+    n_salted = p.groupBy("term_id").agg(F.countDistinct("salt").alias("s")).filter("s > 1").count()
+    assert n_salted > 0, "salt_threshold=64 should salt the hot Zipf head"
+
+
+def test_indexed_topk_equals_bruteforce(spark, corpus, index_dir, query_set):
+    from jvector_spark.index.query import bm25_topk_indexed
+    from jvector_spark.operators.topk import bm25_topk_bruteforce, queries_df
+
+    qdf = queries_df(
+        spark, list(zip(query_set["query_id"], [list(t) for t in query_set["terms"]]))
+    )
+    want = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_topk_bruteforce(corpus, qdf, k=10).collect()
+    }
+    for prune in (False, True):
+        got = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in bm25_topk_indexed(spark, index_dir, qdf, k=10, prune=prune).collect()
+        }
+        assert set(got) == set(want), f"prune={prune}: key sets differ"
+        for key, (doc, score) in want.items():
+            gd, gs = got[key]
+            assert gd == doc, (prune, key, gd, doc)
+            assert abs(gs - score) < 1e-9, (prune, key, gs, score)
+
+
+def test_wand_prunes_blocks(spark, index_dir, query_set):
+    from jvector_spark.index.query import bm25_topk_indexed
+    from jvector_spark.operators.topk import queries_df
+
+    qdf = queries_df(
+        spark, list(zip(query_set["query_id"], [list(t) for t in query_set["terms"]]))
+    )
+    m = (
+        bm25_topk_indexed(spark, index_dir, qdf, k=10, prune=True, with_metrics=True)
+        .groupBy("query_id")
+        .agg(F.first("blocks_decoded").alias("d"), F.first("blocks_skipped").alias("s"))
+        .agg(F.sum("d").alias("dec"), F.sum("s").alias("skip"))
+        .collect()[0]
+    )
+    # pruning must actually skip work on the hot-term query mix
+    assert m["skip"] > 0, (m["dec"], m["skip"])
+
+
+def test_threshold_search(spark, corpus, index_dir, query_set):
+    from jvector_spark.index.query import threshold_search_indexed
+    from jvector_spark.operators.topk import bm25_score_all, queries_df
+
+    qdf = queries_df(
+        spark, list(zip(query_set["query_id"][:10], [list(t) for t in query_set["terms"][:10]]))
+    )
+    theta = 1.0
+    want = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9))
+        for r in bm25_score_all(corpus, qdf).filter(F.col("score") >= theta).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9))
+        for r in threshold_search_indexed(spark, index_dir, qdf, theta).collect()
+    )
+    assert got == want
+
+
+def test_lineage_reconciles(spark, corpus, index_dir):
+    from jvector_spark.index.storage import read_table
+    from jvector_spark.operators import term_freq
+
+    lineage = read_table(spark, index_dir, "build_lineage")
+    total_postings = lineage.agg(F.sum("postings_emitted")).collect()[0][0]
+    assert total_postings == term_freq(corpus).count()
+    assert lineage.filter("status <> 'complete'").count() == 0
+    assert lineage.agg(F.sum("bytes_compressed")).collect()[0][0] > 0
+
+
+def test_build_resume_after_injected_failure(spark, corpus, tmp_path, query_set):
+    from jvector_spark.index.build import build_index
+    from jvector_spark.index.query import bm25_topk_indexed
+    from jvector_spark.operators.topk import queries_df
+
+    d = str(tmp_path / "idx_resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(corpus, d, n_parts=4, fail_after_parts=2, keep_staging=True)
+    # resume completes the remaining parts without redoing stage 1
+    metrics = build_index(corpus, d, n_parts=4, resume=True)
+    assert metrics["parts_built"] == 2
+
+    qdf = queries_df(
+        spark, list(zip(query_set["query_id"][:8], [list(t) for t in query_set["terms"][:8]]))
+    )
+    # resumed index answers identically to the module-scoped single-shot one
+    from jvector_spark.index.storage import read_table
+
+    resumed = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(spark, d, qdf, k=10, prune=True).collect()
+    )
+    assert len(resumed) > 0
+    lineage = read_table(spark, d, "build_lineage")
+    assert lineage.filter("status = 'complete'").count() == 4
+    shutil.rmtree(d, ignore_errors=True)
