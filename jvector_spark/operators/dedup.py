@@ -1,0 +1,220 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup.
+
+Design rule: every hash is built from ``md5`` (identical in Spark and
+DuckDB), so each operator is *cross-engine deterministic* and most have an
+exact DuckDB SQL oracle — the analog of the reference's golden-file
+determinism and fast-vs-slow-path equivalence tests
+(TestCompressedVectors.java:231, TestFusedGraphIndex.java:183-235).
+
+Everything is JVM-side Catalyst expressions; no Python in the hot path.
+
+Scale notes:
+- exact dedup = one groupBy on the text hash (map-side combine);
+- MinHash signatures are a per-row expression (narrow); LSH banding turns
+  the O(N²) candidate problem into an equi-join on band keys — the same
+  shuffle-by-key trick the index build uses for terms;
+- Jaccard verification joins only docs sharing a shingle (inverted-index
+  join), never the full cross product; the shared-shingle join is itself
+  skew-prone for stop-shingles, so callers can cap shingle df via
+  ``max_shingle_df`` (the dedup analog of hot-term salting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import tokens_col
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4  # rows per band = num_hashes // bands
+
+
+def exact_dedup(corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(rep_doc_id, n_dups) — one representative (min doc_id) per distinct
+    text; reference analog of tombstone-compaction keeping one live copy
+    (GraphIndexBuilder.removeDeletedNodes, surveyed B8)."""
+    return (
+        corpus.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(F.col(id_col)).cast("long").alias("rep_doc_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+        .select("rep_doc_id", "n_dups")
+    )
+
+
+def shingles_col(text_col: str, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (space-joined), from the
+    normalized token stream."""
+    toks = tokens_col(text_col)
+    return F.when(F.size(toks) >= n, F.expr(
+        f"transform(sequence(1, size(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != ''), i, {n})))"
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, seed, minhash) — one row per (doc, hash seed); minhash =
+    lexicographic min of md5(seed || ':' || shingle). Docs with fewer than
+    ``shingle_n`` tokens produce no rows (no shingles)."""
+    sh = corpus.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+    ).distinct()
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select(id_col, "shingle", seeds)
+        .groupBy(id_col, "seed")
+        .agg(
+            F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))).alias(
+                "minhash"
+            )
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs (a < b) sharing ≥1 LSH band.
+
+    Band key = md5 over the band's concatenated minhashes; the self-join is
+    an equi-join on (band_id, band_key) — shuffle on a short key, never a
+    cross product.
+    """
+    rows_per_band = num_hashes // bands
+    banded = (
+        signatures.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band_id")
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list(
+                    F.concat_ws(":", F.col("seed"), F.col("minhash"))
+                )))
+            ).alias("band_key")
+        )
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), "band_id", "band_key"
+    )
+    right = banded.select(F.col(id_col).alias("b"), "band_id", "band_key")
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(a, b, jaccard) for doc pairs with shingle-set Jaccard ≥ threshold,
+    a < b. Pairs are generated through an inverted shingle index (docs must
+    share ≥1 shingle), with |A| and |B| precomputed so the union is derived
+    from the intersection count — no per-pair set materialization."""
+    sh = corpus.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+    ).distinct()
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b, jaccard) — LSH candidates verified with exact Jaccard ≥
+    threshold. The two-phase shape (cheap candidate pass + exact verify)
+    mirrors the reference's approximate-then-rerank search
+    (GraphSearcher.java:451-487)."""
+    sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    exact = jaccard_pairs(corpus, text_col, id_col, shingle_n, threshold=0.0)
+    return (
+        cand.join(exact, ["a", "b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted SimHash over term hashes.
+
+    Term hash = first 15 hex chars of md5 (60 bits, sign-safe in int64,
+    identical in DuckDB via ('0x'||substr(md5(t),1,15))::BIGINT). Bit b of
+    the simhash is 1 iff Σ_terms tf·(2·bit_b(h)−1) > 0. ``bits`` ≤ 60.
+    """
+    tf = (
+        corpus.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+        )
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    contrib = (
+        tf.select(id_col, "tf", "h", bit)
+        .withColumn(
+            # shiftright with a column shift amount needs the SQL form — the
+            # python F.shiftright only accepts a literal int
+            "v",
+            F.col("tf") * F.expr("(shiftright(h, cast(bit AS int)) & 1) * 2 - 1"),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("v").alias("s"))
+    )
+    return (
+        contrib.withColumn(
+            "bitval",
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(cast(1 AS bigint), cast(bit AS int))"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
