@@ -37,6 +37,7 @@ Q_BM25_SQL_VALUES = (
 BOOL_TERMS = ["vector", "merge"]
 PHRASE = ("hash", "join")
 THRESH = 0.3  # documents-vocab idf tops scores out near 0.45 — keep rows non-empty
+NEARDUP_COS = 0.35  # sf0.01 max pairwise cos ≈ 0.51; 0.35 keeps ~100 pairs
 K1, B = 1.2, 0.75
 TOKSPLIT = "[^a-z0-9]+"
 
@@ -235,6 +236,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("fingerprint").isNotNull())
         )
 
+    def q_postings_build(spark, sf):
+        # block-max metadata of the built index (rows-only check: packed
+        # binary payloads are not SQL-expressible; their exact round-trip is
+        # postings_decode's oracle + the codec property tests)
+        from jvector_spark.index.storage import block_meta
+
+        idx = _index_for(spark, sf)
+        return block_meta(spark, idx).select(
+            "term_id", "salt", "block_id", "n", "base", "max_doc_id", "max_tf"
+        )
+
+    def q_media_meta(spark, sf):
+        from jvector_spark.operators.multimodal import media_meta
+
+        d = _docs(spark, sf).select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        return media_meta(d)
+
+    def q_media_features(spark, sf):
+        # stub-decoded feature extraction over binary payloads (rows-only:
+        # byte-statistics floats aren't portably SQL-expressible; the
+        # determinism contract is pytest-enforced)
+        from jvector_spark.operators.multimodal import decode_image_features
+
+        d = _docs(spark, sf).select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        return decode_image_features(d)
+
+    def q_embedding_near_dups(spark, sf):
+        from jvector_spark.operators.similarity import embedding_near_dups
+
+        emb = _read(spark, sf, "embeddings")
+        p = embedding_near_dups(emb, threshold=NEARDUP_COS)
+        return p.select("a", "b", _u6(F.col("cos")).alias("cos_u6"))
+
+    def q_embedding_near_dups_lsh(spark, sf):
+        from jvector_spark.operators.similarity import embedding_near_dups_lsh
+
+        emb = _read(spark, sf, "embeddings")
+        p = embedding_near_dups_lsh(emb, threshold=NEARDUP_COS)
+        return p.select("a", "b", _u6(F.col("cos")).alias("cos_u6"))
+
     def q_ann_topk(spark, sf):
         emb = _read(spark, sf, "embeddings")
         qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -332,6 +377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "postings_build": q_postings_build,
+        "media_meta": q_media_meta,
+        "media_features": q_media_features,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "scan_filter": q_scan_filter,
@@ -433,6 +483,20 @@ SELECT doc_id, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
     ELSE 'es' END AS lang_pred
 FROM hits
 """
+
+
+def _media_meta_sql() -> str:
+    from jvector_spark.operators.multimodal import MAGIC
+
+    chain = " ".join(
+        f"WHEN starts_with(hex(encode(text)), '{prefix}') THEN '{label}'"
+        for prefix, label in MAGIC
+    )
+    return (
+        "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
+        "md5(text) AS content_md5, "
+        f"CASE {chain} ELSE 'unknown' END AS format FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -537,6 +601,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"WITH {_TOKS}, {_TOK} "
             "SELECT doc_id, min(md5(term)) AS fingerprint FROM tok GROUP BY doc_id"
+        ),
+        # postings_build / media_features / embedding_near_dups_lsh:
+        # intentionally no SQL oracle (packed binary blocks, stubbed decode
+        # floats, and an approximate LSH candidate set respectively) — the
+        # driver records rows-only checks; exactness is pytest-enforced.
+        "media_meta": _media_meta_sql(),
+        "embedding_near_dups": (
+            "WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+            "sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv "
+            "FROM embeddings), "
+            "p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+            "list_sum(list_transform(list_zip(a.nv, b.nv), z -> z[1] * z[2])) AS cos "
+            "FROM n a JOIN n b ON a.vec_id < b.vec_id) "
+            f"SELECT a, b, {u6('cos')} AS cos_u6 FROM p WHERE cos >= {NEARDUP_COS}"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "

@@ -105,6 +105,47 @@ def make_transcripts(spark, n_turns: int = 5000, seed: int = 42):
     return spark.createDataFrame(make_transcripts_pdf(n_turns, seed), schema=schema)
 
 
+def make_transcripts_distributed(
+    spark, n_turns: int, n_partitions: int = 64, seed: int = 42
+):
+    """Generate the transcripts corpus *on the executors*: each partition
+    seeds its own rng with (seed, partition_id) and emits an equal slice of
+    turns with partition-prefixed conv_ids — deterministic for a given
+    (n_turns, n_partitions, seed) regardless of core count. This is how the
+    10^12-turn corpus would be materialized on a real cluster: no
+    driver-side row generation, no collect."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    per_part = -(-n_turns // n_partitions)
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+
+    def gen(it):
+        for pdf in it:
+            for pid in pdf["id"].tolist():
+                n = min(per_part, n_turns - pid * per_part)
+                if n <= 0:
+                    continue
+                out = make_transcripts_pdf(n, seed=seed + pid)
+                out["conv_id"] = f"p{pid:05d}_" + out["conv_id"]
+                yield out
+
+    return (
+        spark.range(n_partitions)
+        .repartition(n_partitions, F.col("id"))
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def make_query_set(n_queries: int = 100, seed: int = 7) -> pd.DataFrame:
     """Fixed reference query set: (query_id, terms, k).
 

@@ -38,7 +38,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .. import BLOCK_SIZE, BM25_B, BM25_K1
@@ -278,10 +278,22 @@ def build_index(
             .collect()
         }
 
+    # per-part distinct doc counts in ONE column-pruned job (not one per
+    # part): lineage metadata must never multiply the job count — at 10^5
+    # parts the per-part fixed job-submission cost would dominate the build
+    todo = [p for p in range(n_parts) if p not in done_parts]
+    part_docs: dict[int, int] = {}
+    if todo and os.path.exists(staging_dir):
+        part_docs = {
+            r.part_id: r.docs
+            for r in spark.read.parquet(staging_dir)
+            .groupBy("part_id")
+            .agg(F.countDistinct("doc_id").alias("docs"))
+            .collect()
+        }
+
     committed = 0
-    for p in range(n_parts):
-        if p in done_parts:
-            continue
+    for p in todo:
         part_src = os.path.join(staging_dir, f"part_id={p}")
         if not os.path.exists(part_src):
             # empty hash bucket — record it complete so resume skips it
@@ -293,26 +305,31 @@ def build_index(
             committed += 1
             continue
         part = spark.read.parquet(part_src)
+        # lineage metrics observed during the write itself (no re-read pass)
+        obs = Observation(f"part_{p}_metrics")
         blocks = (
             part.repartition("term_id", "salt")
             .mapInPandas(_encode_map_fn(block_size), schema=POSTINGS_SCHEMA)
+            .observe(
+                obs,
+                F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
+                (
+                    F.coalesce(F.sum(F.length("doc_ids_packed")), F.lit(0))
+                    + F.coalesce(F.sum(F.length("tfs_packed")), F.lit(0))
+                    + F.coalesce(F.sum(F.length("dls_packed")), F.lit(0))
+                ).alias("bytes"),
+            )
         )
         out_path = os.path.join(table_path(index_dir, "postings"), f"part_id={p}")
         blocks.write.mode("overwrite").parquet(out_path)
-
-        # lineage metrics from what was actually written (reconciled by tests)
-        written = spark.read.parquet(out_path)
-        m = written.agg(
-            F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
-            (
-                F.coalesce(F.sum(F.length("doc_ids_packed")), F.lit(0))
-                + F.coalesce(F.sum(F.length("tfs_packed")), F.lit(0))
-                + F.coalesce(F.sum(F.length("dls_packed")), F.lit(0))
-            ).alias("bytes"),
-        ).collect()[0]
-        docs = part.select("doc_id").distinct().count()
+        m = obs.get
         lineage_row = spark.createDataFrame(
-            [(p, int(docs), int(m["postings"]), int(m["bytes"]), "complete")],
+            [
+                (
+                    p, int(part_docs.get(p, 0)), int(m["postings"]),
+                    int(m["bytes"]), "complete",
+                )
+            ],
             "part_id int, docs_indexed long, postings_emitted long, "
             "bytes_compressed long, status string",
         )

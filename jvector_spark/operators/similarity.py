@@ -65,12 +65,18 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(rank, vec_id, cos): exact top-k by cosine, ties → ascending id
-    (same determinism contract as BM25 top-k)."""
+    (same determinism contract as BM25 top-k).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — every
+    partition keeps a local k-heap and only k rows per partition reach the
+    driver-side merge, so this scans 10^12 rows without a global sort. The
+    rank window then runs over ≤ k rows (a single tiny partition by
+    construction, not a scale hazard)."""
     scored = cosine_scores(embeddings, query_vec, id_col, vec_col)
+    top = scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("cos"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", id_col, "cos")
     )
 
@@ -114,3 +120,92 @@ def cosine_topk_lsh(
     bucketed = embeddings.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("_bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def _normalized(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, _nv): L2-normalized float64 vectors — cosine becomes a dot."""
+    return embeddings.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double") / F.sqrt(
+                F.aggregate(
+                    F.transform(F.col(vec_col), lambda y: y.cast("double") * y.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+        ).alias("_nv"),
+    )
+
+
+def _pair_cos_col() -> Column:
+    return F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos) for every pair with cosine ≥ threshold, a < b — the
+    embedding-space near-duplicate detector (exact tier).
+
+    This is the *verification-scale* path: an all-pairs join. It is correct
+    at any scale but O(N²) — at 100 TB you run ``embedding_near_dups_lsh``
+    to generate candidates and this only on the candidates. Normalizing
+    first means the join condition is a plain dot product.
+    """
+    normed = _normalized(embeddings, id_col, vec_col)
+    a = normed.select(F.col(id_col).alias("a"), F.col("_nv").alias("_va"))
+    b = normed.select(F.col(id_col).alias("b"), F.col("_nv").alias("_vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos", _pair_cos_col())
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select("a", "b", "cos")
+    )
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1234,
+) -> DataFrame:
+    """(a, b, cos) near-dup pairs via hyperplane-LSH blocking: candidates
+    must share a bucket (high-cosine pairs almost always do — collision
+    P = (1 - θ/π)^R), then exact-verified. The LSH equi-join replaces the
+    O(N²) cross join with a shuffle on bucket keys — the same
+    candidates-then-verify shape as minhash_near_dups and the reference's
+    approx-then-rerank search (GraphSearcher.java:451-487). Approximate:
+    recall < 1 by construction (pairs split by every hyperplane are missed);
+    measured against the exact tier in tests."""
+    # dim from one row (driver-side peek is O(1))
+    first = embeddings.select(vec_col).head()
+    if first is None:
+        return embedding_near_dups(embeddings.limit(0), threshold, id_col, vec_col)
+    planes = _hyperplanes(len(first[0]), n_planes, seed)
+    normed = _normalized(embeddings, id_col, vec_col).withColumn(
+        "_bucket", lsh_bucket_col(F.col("_nv"), planes)
+    )
+    a = normed.select(F.col(id_col).alias("a"), F.col("_nv").alias("_va"), "_bucket")
+    b = normed.select(F.col(id_col).alias("b"), F.col("_nv").alias("_vb"), "_bucket")
+    # candidates = bucket-equi-join (shuffle on bucket key, not a cross
+    # join); exact cosine verified on the candidate pairs ONLY
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", _pair_cos_col())
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        # no distinct needed: each vector lives in exactly one bucket, so a
+        # pair is generated at most once
+        .select("a", "b", "cos")
+    )
