@@ -42,6 +42,8 @@ K1, B = 1.2, 0.75
 TOKSPLIT = "[^a-z0-9]+"
 
 _INDEX_CACHE: dict[str, str] = {}
+_MUTIDX_CACHE: dict[tuple[str, str], str] = {}
+DELETE_IDS = [3, 7, 11, 19]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,6 +81,45 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
         salt_threshold=256, target_salt_postings=256, n_parts=4,
     )
     _INDEX_CACHE[sf_dir] = d
+    return d
+
+
+def _deleted_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Fresh index over documents with DELETE_IDS tombstoned (never mutates
+    the shared _INDEX_CACHE index)."""
+    key = (sf_dir, "del")
+    got = _MUTIDX_CACHE.get(key)
+    if got and os.path.exists(os.path.join(got, "segments")):
+        return got
+    from jvector_spark.index.build import build_index
+    from jvector_spark.index.maintenance import delete_docs
+
+    d = tempfile.mkdtemp(prefix="jvidx_del_")
+    build_index(_docs(spark, sf_dir), d, n_parts=2)
+    delete_docs(spark, d, DELETE_IDS)
+    _MUTIDX_CACHE[key] = d
+    return d
+
+
+def _extended_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Index built over the first half of documents then incrementally
+    extended with the second half (doc_ids are dense 0..N-1 in the fixture
+    tables, so caller-provided ids satisfy extend's >= n_old contract).
+    Post-extension stats equal a full build, so the full-corpus oracle
+    applies."""
+    key = (sf_dir, "ext")
+    got = _MUTIDX_CACHE.get(key)
+    if got and os.path.exists(os.path.join(got, "segments")):
+        return got
+    from jvector_spark.index.build import build_index
+    from jvector_spark.index.extend import extend_index
+
+    docs = _docs(spark, sf_dir)
+    half = docs.count() // 2
+    d = tempfile.mkdtemp(prefix="jvidx_ext_")
+    build_index(docs.filter(F.col("doc_id") < half), d, n_parts=2)
+    extend_index(docs.filter(F.col("doc_id") >= half), d)
+    _MUTIDX_CACHE[key] = d
     return d
 
 
@@ -236,6 +277,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("fingerprint").isNotNull())
         )
 
+    def q_delete_search(spark, sf):
+        # M1 semantics: tombstoned docs masked from top-k, global stats stay
+        # stale until compaction (oracle scores the FULL corpus, then drops
+        # the deleted ids before ranking)
+        t = bm25_topk_indexed(
+            spark, _deleted_index_for(spark, sf), _qterms(spark), k=10, prune=True
+        )
+        return t.select("query_id", "rank", "doc_id", _u6(F.col("score")).alias("score_u6"))
+
+    def q_extend_search(spark, sf):
+        # B10 semantics: half-build + incremental extend ≡ full build
+        t = bm25_topk_indexed(
+            spark, _extended_index_for(spark, sf), _qterms(spark), k=10, prune=True
+        )
+        return t.select("query_id", "rank", "doc_id", _u6(F.col("score")).alias("score_u6"))
+
     def q_postings_build(spark, sf):
         # block-max metadata of the built index (rows-only check: packed
         # binary payloads are not SQL-expressible; their exact round-trip is
@@ -377,6 +434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "delete_search": q_delete_search,
+        "extend_search": q_extend_search,
         "postings_build": q_postings_build,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
@@ -601,6 +660,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"WITH {_TOKS}, {_TOK} "
             "SELECT doc_id, min(md5(term)) AS fingerprint FROM tok GROUP BY doc_id"
+        ),
+        "delete_search": (
+            f"{_BM25_CTE} SELECT query_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank, "
+            f"doc_id, {u6('score')} AS score_u6 FROM scores "
+            f"WHERE doc_id NOT IN ({','.join(str(i) for i in DELETE_IDS)}) "
+            "QUALIFY rank <= 10"
+        ),
+        "extend_search": (
+            f"{_BM25_CTE} SELECT query_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank, "
+            f"doc_id, {u6('score')} AS score_u6 FROM scores "
+            "QUALIFY rank <= 10"
         ),
         # postings_build / media_features / embedding_near_dups_lsh:
         # intentionally no SQL oracle (packed binary blocks, stubbed decode

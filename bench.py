@@ -154,8 +154,25 @@ def transcripts_job(spark, src_parquet: str, workdir: str, warmup: bool = True) 
     }
 
 
+def _job_main(cores: int, src: str, workdir: str) -> None:
+    """Subprocess entry: one fresh JVM per parallelism level — the sandbox
+    analog of separate spark-submit invocations at N and 4N executors.
+    (Reusing one JVM across SparkContexts accumulates heap/metaspace and
+    skews whichever session runs last.)"""
+    from jvector_spark.session import get_spark
+
+    spark = get_spark(cores=cores, app_name=f"jv_scale_{cores}")
+    r = transcripts_job(spark, src, workdir, warmup=True)
+    spark.stop()
+    print("JOBRESULT " + json.dumps(r))
+
+
 def main() -> None:
     from jvector_spark.session import get_spark
+
+    if len(sys.argv) >= 5 and sys.argv[1] == "--job":
+        _job_main(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        return
 
     workdir = tempfile.mkdtemp(prefix="jv_bench_")
     result: dict = {
@@ -182,14 +199,21 @@ def main() -> None:
     result["value"] = round(time.perf_counter() - t_all, 3)
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        # identical job, identical input, two parallelism levels
+        # identical job, identical input, two parallelism levels — each in
+        # its own subprocess (fresh JVM), like separate spark-submit runs
+        import subprocess
+
         spark.stop()
         scaling: dict = {"turns": SCALE_TURNS, "lo_cores": SCALE_LO, "hi_cores": SCALE_HI}
         for tag, cores in (("lo", SCALE_LO), ("hi", SCALE_HI)):
-            s = get_spark(cores=cores, app_name=f"jv_scale_{cores}")
-            r = transcripts_job(s, src, workdir)
-            scaling[tag] = r
-            s.stop()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--job", str(cores), src, workdir],
+                capture_output=True, text=True, timeout=1200,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("JOBRESULT ")]
+            if not line:
+                raise RuntimeError(f"scaling job {tag} failed: {proc.stderr[-2000:]}")
+            scaling[tag] = json.loads(line[-1][len("JOBRESULT "):])
         thr_lo = scaling["lo"]["turns_per_sec"]
         thr_hi = scaling["hi"]["turns_per_sec"]
         ratio = SCALE_HI / SCALE_LO

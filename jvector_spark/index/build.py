@@ -4,15 +4,15 @@ Stages (reference analog: GraphIndexBuilder.build → cleanup → write,
 jvector-base/.../graph/GraphIndexBuilder.java:439-511):
 
   1. **Stage the enriched term-frequency relation** — tokenize (JVM-side),
-     tf/df/dl stats, per-posting exact BM25 contribution (static at build
-     time because BM25 depends only on corpus stats), salt assignment for
-     hot terms — and write it to a staging directory hive-partitioned by
-     ``part_id`` (deterministic hash bucket of (term_id, salt)). One shuffle.
+     tf/df/dl stats, salt assignment for hot terms — and write it to a
+     staging directory hive-partitioned by ``part_id`` (deterministic hash
+     bucket of (term_id, salt)). One shuffle.
   2. **Per-part encode** — for each part not yet marked complete in
      ``build_lineage``: read only that directory partition, sort within
      partitions by (term_id, salt, doc_id), and run a fully vectorized
      mapInPandas encoder that emits fused posting blocks (delta+varint
-     docID gaps, varint tfs + dls inline, block-max metadata). Each part
+     docID gaps, varint tfs + dls inline, (max_tf, min_dl) block-max
+     metadata — score bounds derive from these at query time). Each part
      commit appends a lineage row — the checkpoint unit (analog of
      OnHeapGraphIndex save/load + CheckpointManager.java:33-112, B11/B12).
      A killed build resumes by skipping completed parts; the final index is
@@ -43,7 +43,6 @@ from pyspark.sql import functions as F
 
 from .. import BLOCK_SIZE, BM25_B, BM25_K1
 from ..functions.analysis import TOKEN_PATTERN
-from ..functions.bm25 import bm25_term_score_col
 from ..operators.text_stats import dictionary as build_dictionary
 from ..operators.text_stats import doc_stats, term_freq
 from .codec import varint_encode
@@ -51,7 +50,7 @@ from .storage import FORMAT_VERSION, read_table, table_path, write_table
 
 POSTINGS_SCHEMA = (
     "term_id long, salt int, block_id int, n int, base long, max_doc_id long, "
-    "max_tf long, max_score_bound double, doc_ids_packed binary, "
+    "max_tf long, min_dl long, doc_ids_packed binary, "
     "tfs_packed binary, dls_packed binary"
 )
 
@@ -70,25 +69,28 @@ def _varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
 
 
 def encode_partition_pdf(
-    pdf: pd.DataFrame, block_size: int = BLOCK_SIZE
+    pdf: pd.DataFrame, block_size: int = BLOCK_SIZE, carry_part_id: bool = False
 ) -> pd.DataFrame:
     """Vectorized block encoder for one (already filtered) partition of the
-    enriched tf relation. Expects columns term_id, salt, doc_id, tf, dl,
-    contrib; rows may arrive unsorted. Emits one row per posting block.
+    enriched tf relation. Expects columns term_id, salt, doc_id, tf, dl
+    (plus part_id when ``carry_part_id``); rows may arrive unsorted. Emits
+    one row per posting block with (max_tf, min_dl) block-max metadata —
+    the query derives the BM25 upper bound from these plus *current*
+    global stats, so bounds stay exact after incremental extends/compacts
+    change n_docs/avgdl (format v2; no baked score bound to go stale).
 
     Everything except the final per-block byte slicing is numpy-vectorized
     across the whole partition — the Arrow-batch equivalent of the
     reference's SIMD bulk kernels (PanamaVectorUtilSupport.java).
     """
     if len(pdf) == 0:
-        return _empty_postings_pdf()
+        return _empty_postings_pdf(carry_part_id)
     pdf = pdf.sort_values(["term_id", "salt", "doc_id"], kind="mergesort")
     term = pdf["term_id"].to_numpy(np.int64)
     salt = pdf["salt"].to_numpy(np.int32)
     d = pdf["doc_id"].to_numpy(np.int64)
     tf = pdf["tf"].to_numpy(np.int64)
     dl = pdf["dl"].to_numpy(np.int64)
-    contrib = pdf["contrib"].to_numpy(np.float64)
     n = len(d)
 
     group_start = np.ones(n, dtype=bool)
@@ -132,37 +134,43 @@ def encode_partition_pdf(
         "base": base,
         "max_doc_id": d[ends - 1],
         "max_tf": np.maximum.reduceat(tf, starts),
-        "max_score_bound": np.maximum.reduceat(contrib, starts),
+        "min_dl": np.minimum.reduceat(dl, starts),
         "doc_ids_packed": [
             id_buf[id_off[s] : id_off[e]] for s, e in zip(starts, ends)
         ],
         "tfs_packed": [tf_buf[tf_off[s] : tf_off[e]] for s, e in zip(starts, ends)],
         "dls_packed": [dl_buf[dl_off[s] : dl_off[e]] for s, e in zip(starts, ends)],
     }
+    if carry_part_id:
+        part = pdf["part_id"].to_numpy(np.int32)
+        out = {"part_id": part[starts], **out}
     res = pd.DataFrame(out)
     res["salt"] = res["salt"].astype("int32")
+    if carry_part_id:
+        res["part_id"] = res["part_id"].astype("int32")
     return res
 
 
-def _empty_postings_pdf() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "term_id": pd.Series(dtype="int64"),
-            "salt": pd.Series(dtype="int32"),
-            "block_id": pd.Series(dtype="int32"),
-            "n": pd.Series(dtype="int32"),
-            "base": pd.Series(dtype="int64"),
-            "max_doc_id": pd.Series(dtype="int64"),
-            "max_tf": pd.Series(dtype="int64"),
-            "max_score_bound": pd.Series(dtype="float64"),
-            "doc_ids_packed": pd.Series(dtype=object),
-            "tfs_packed": pd.Series(dtype=object),
-            "dls_packed": pd.Series(dtype=object),
-        }
-    )
+def _empty_postings_pdf(carry_part_id: bool = False) -> pd.DataFrame:
+    cols = {
+        "term_id": pd.Series(dtype="int64"),
+        "salt": pd.Series(dtype="int32"),
+        "block_id": pd.Series(dtype="int32"),
+        "n": pd.Series(dtype="int32"),
+        "base": pd.Series(dtype="int64"),
+        "max_doc_id": pd.Series(dtype="int64"),
+        "max_tf": pd.Series(dtype="int64"),
+        "min_dl": pd.Series(dtype="int64"),
+        "doc_ids_packed": pd.Series(dtype=object),
+        "tfs_packed": pd.Series(dtype=object),
+        "dls_packed": pd.Series(dtype=object),
+    }
+    if carry_part_id:
+        cols = {"part_id": pd.Series(dtype="int32"), **cols}
+    return pd.DataFrame(cols)
 
 
-def _encode_map_fn(block_size: int):
+def _encode_map_fn(block_size: int, carry_part_id: bool = False):
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Concatenate the partition's Arrow batches: groups are confined to
         # one partition by the repartition(term_id, salt) upstream, but may
@@ -170,9 +178,11 @@ def _encode_map_fn(block_size: int):
         # spark.sql.shuffle.partitions).
         batches = [p for p in it]
         if not batches:
-            yield _empty_postings_pdf()
+            yield _empty_postings_pdf(carry_part_id)
             return
-        yield encode_partition_pdf(pd.concat(batches, ignore_index=True), block_size)
+        yield encode_partition_pdf(
+            pd.concat(batches, ignore_index=True), block_size, carry_part_id
+        )
 
     return fn
 
@@ -229,7 +239,7 @@ def build_index(
 
         dct_r = read_table(spark, index_dir, "dictionary")
         enriched = (
-            tf.join(dct_r.select("term", "term_id", "df", "n_salts"), "term")
+            tf.join(dct_r.select("term", "term_id", "n_salts"), "term")
             .join(dstats, id_col)
             .withColumn(
                 "salt",
@@ -239,19 +249,12 @@ def build_index(
                 ).cast("int"),
             )
             .withColumn(
-                "contrib",
-                bm25_term_score_col(
-                    F.col("tf"), F.col("df"), F.col("dl"),
-                    F.lit(n_docs), F.lit(avgdl), k1=k1, b=b,
-                ),
-            )
-            .withColumn(
                 "part_id",
                 F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_parts)).cast("int"),
             )
             .select(
                 "part_id", "term_id", "salt",
-                F.col(id_col).alias("doc_id"), "tf", "dl", "contrib",
+                F.col(id_col).alias("doc_id"), "tf", "dl",
             )
         )
         enriched.write.mode("overwrite").partitionBy("part_id").parquet(staging_dir)

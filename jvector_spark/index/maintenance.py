@@ -1,0 +1,157 @@
+"""Index maintenance: tombstone deletes and compaction.
+
+Reference analog: ``markNodeDeleted`` tombstones + ``removeDeletedNodes``
+cleanup (jvector-base/.../graph/GraphIndexBuilder.java:681-683, 692-802,
+surveyed M1/B8) and the deletion test suite (TestDeletions.java:42-159).
+
+Semantics:
+- ``delete_docs`` appends doc_ids to a ``tombstones`` table — O(deletes),
+  no index rewrite. Queries mask tombstoned docs *before* top-k selection
+  (a deleted doc must not occupy a result slot NOR shadow a live doc).
+- ``compact_index`` physically rewrites the postings without tombstoned
+  docs, shrinks doc_stats/doc_map, refreshes dictionary df/cf and global
+  stats, and clears the tombstone set — the FreshDiskANN-style cleanup.
+  doc_ids are NOT renumbered (stable external references, like the
+  reference's holes-then-renumber-at-write model); density is restored by
+  a full rebuild if ever needed.
+
+Scale notes: the tombstone set is read as a DataFrame and applied via
+broadcast anti-join semantics (query side) or an executor-side numpy mask
+(WAND side). A tombstone set too large to broadcast is the signal to run
+``compact_index`` — same policy as the reference's cleanup threshold.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .build import POSTINGS_SCHEMA, _encode_map_fn
+from .query import decode_postings
+from .storage import (
+    read_segments,
+    read_table,
+    table_path,
+    tombstone_ids,
+    write_table,
+)
+
+__all__ = ["delete_docs", "tombstone_ids", "compact_index"]
+
+TOMBSTONES = "tombstones"
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
+    """Tombstone the given doc_ids (iterable of int or a 1-col DataFrame).
+    Returns the number of tombstones appended."""
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        rows = [(int(d),) for d in doc_ids]
+        if not rows:
+            return 0
+        df = spark.createDataFrame(rows, "doc_id long")
+    df = df.distinct()
+    n = df.count()
+    df.write.mode("append").parquet(table_path(index_dir, TOMBSTONES))
+    return n
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Rewrite the index without tombstoned docs (B8 analog). Idempotent;
+    no-op when there are no tombstones."""
+    dead = tombstone_ids(spark, index_dir)
+    if not dead:
+        return {"docs_removed": 0}
+    seg = read_segments(spark, index_dir)
+    n_parts = int(seg["n_parts"])
+    block_size = int(seg["block_size"])
+    dead_df = F.broadcast(
+        spark.createDataFrame([(int(d),) for d in sorted(dead)], "doc_id long")
+    )
+
+    # decode → drop dead docs → re-encode (streams through the same
+    # vectorized encoder as the build; doc order within (term, salt) is
+    # preserved so blocks stay sorted and doc-range-disjoint)
+    live = decode_postings(
+        spark, index_dir, extra_cols=["salt"]
+    ).join(dead_df, "doc_id", "left_anti")
+    enriched = live.withColumn(
+        "part_id", F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_parts)).cast("int")
+    ).select("part_id", "term_id", "salt", "doc_id", "tf", "dl")
+    obs = Observation("compact_metrics")
+    blocks = (
+        enriched.repartition("part_id", "term_id", "salt")
+        .mapInPandas(
+            _encode_map_fn(block_size, carry_part_id=True),
+            schema="part_id int, " + POSTINGS_SCHEMA,
+        )
+        .observe(obs, F.coalesce(F.sum("n"), F.lit(0)).alias("postings"))
+    )
+    tmp = table_path(index_dir, "postings__compact")
+    blocks.write.mode("overwrite").partitionBy("part_id").parquet(tmp)
+    old = table_path(index_dir, "postings")
+    shutil.rmtree(old)
+    os.rename(tmp, old)
+    postings_live = int(obs.get["postings"])
+
+    # shrink doc_stats / doc_map
+    for name in ("doc_stats", "doc_map"):
+        path = table_path(index_dir, name)
+        if not os.path.exists(path):
+            continue
+        kept = spark.read.parquet(path).join(dead_df, "doc_id", "left_anti")
+        tmp = path + "__compact"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    # refresh dictionary df/cf from the live postings (drops empty terms'
+    # counts to 0 but keeps their term_ids stable)
+    live2 = decode_postings(spark, index_dir)
+    stats = live2.groupBy("term_id").agg(
+        F.count("*").cast("long").alias("df2"),
+        F.sum("tf").cast("long").alias("cf2"),
+    )
+    dct = read_table(spark, index_dir, "dictionary")
+    new_dct = (
+        dct.join(stats, "term_id", "left")
+        .select(
+            "term",
+            "term_id",
+            F.coalesce(F.col("df2"), F.lit(0)).alias("df"),
+            F.coalesce(F.col("cf2"), F.lit(0)).alias("cf"),
+            "n_salts",
+        )
+    )
+    tmp = table_path(index_dir, "dictionary__compact")
+    new_dct.write.mode("overwrite").parquet(tmp)
+    old = table_path(index_dir, "dictionary")
+    shutil.rmtree(old)
+    os.rename(tmp, old)
+
+    # refresh global stats; clear tombstones
+    total = read_table(spark, index_dir, "doc_stats").agg(
+        F.count("*").cast("long"), F.avg("dl")
+    ).collect()[0]
+    seg_row = spark.createDataFrame(
+        [
+            (
+                int(seg["format_version"]), int(total[0]), float(total[1]),
+                float(seg["k1"]), float(seg["b"]), block_size,
+                seg["token_pattern"], n_parts,
+            )
+        ],
+        "format_version int, n_docs long, avgdl double, k1 double, b double, "
+        "block_size int, token_pattern string, n_parts int",
+    )
+    write_table(seg_row, index_dir, "segments")
+    shutil.rmtree(table_path(index_dir, TOMBSTONES), ignore_errors=True)
+    return {
+        "docs_removed": len(dead),
+        "postings_live": postings_live,
+        "n_docs": int(total[0]),
+    }

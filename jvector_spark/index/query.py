@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1
 from .codec import varint_decode
-from .storage import read_segments, read_table, table_path
+from .storage import read_segments, read_table, table_path, tombstone_ids
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +143,19 @@ def _prepared_query_blocks(
     return postings.join(F.broadcast(qd.drop("n_salts")), "term_id")
 
 
+def _mask_tombstones(spark: SparkSession, index_dir: str, decoded: DataFrame) -> DataFrame:
+    """Anti-join decoded postings against the tombstone set (broadcast) —
+    deleted docs must neither fill nor shadow result slots (M1 semantics,
+    the Bits-acceptOrds filter of GraphSearcher.java:202-205)."""
+    dead = tombstone_ids(spark, index_dir)
+    if not dead:
+        return decoded
+    dead_df = F.broadcast(
+        spark.createDataFrame([(int(x),) for x in sorted(dead)], "doc_id long")
+    )
+    return decoded.join(dead_df, "doc_id", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # unpruned (relational, exact) path
 # ---------------------------------------------------------------------------
@@ -158,6 +171,7 @@ def bm25_topk_indexed_unpruned(
     decoded = blocks.select(*carry, "n", "base", "doc_ids_packed", "tfs_packed", "dls_packed").mapInPandas(
         _decode_map_fn(carry), schema=schema
     )
+    decoded = _mask_tombstones(spark, index_dir, decoded)
     k1, b, avgdl = seg["k1"], seg["b"], seg["avgdl"]
     contrib = (
         F.col("weight")
@@ -186,27 +200,42 @@ def bm25_topk_indexed_unpruned(
 # ---------------------------------------------------------------------------
 
 def wand_topk_arrays(
-    pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float
+    pdf: pd.DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    dead: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Pure numpy Block-Max top-k for one query's posting blocks.
 
     Strategy: posting-block doc-ranges [base, max_doc_id] induce a
-    piecewise-constant upper-bound function over doc space (block bounds are
-    exact maxima × query weight). Sweep the segments in descending
+    piecewise-constant upper-bound function over doc space. The per-block
+    bound is DERIVED here from the stored (max_tf, min_dl) and the current
+    global stats — exact for fresh indexes, still a valid (monotone: BM25
+    increases in tf, decreases in dl) upper bound after incremental
+    extends change n_docs/avgdl. Sweep the segments in descending
     upper-bound order, decode only the blocks overlapping segments that can
     still beat the current k-th score θ (skip iff UB < θ — ties must be
     processed so the smaller-doc_id winner is found, mirroring
     NodeQueue.java:104-129). Segments partition doc space, so per-segment
     exact scores are complete and the result equals the unpruned path
-    exactly. Returns (doc_ids, scores, blocks_decoded, blocks_skipped).
+    exactly. ``dead`` (sorted tombstoned doc_ids) are masked before
+    scoring so deleted docs neither fill nor shadow result slots.
+    Returns (doc_ids, scores, blocks_decoded, blocks_skipped).
     """
     nb = len(pdf)
     lo = pdf["base"].to_numpy(np.int64)
     hi = pdf["max_doc_id"].to_numpy(np.int64)
-    ub = pdf["max_score_bound"].to_numpy(np.float64) * pdf["weight"].to_numpy(np.float64)
     idf = pdf["idf"].to_numpy(np.float64)
     weight = pdf["weight"].to_numpy(np.float64)
     ns = pdf["n"].to_numpy(np.int64)
+    max_tf = pdf["max_tf"].to_numpy(np.float64)
+    min_dl = pdf["min_dl"].to_numpy(np.float64)
+    ub = (
+        weight * idf * max_tf
+        / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
+    )
 
     bounds = np.unique(np.concatenate([lo, hi + 1]))
     seg_lo = bounds[:-1]
@@ -242,6 +271,9 @@ def wand_topk_arrays(
         docs = np.cumsum(gaps)
         tf = varint_decode(pdf["tfs_packed"].iat[bi], n).astype(np.float64)
         dl = varint_decode(pdf["dls_packed"].iat[bi], n).astype(np.float64)
+        if dead is not None and len(dead):
+            alive = ~np.isin(docs, dead, assume_unique=False)
+            docs, tf, dl = docs[alive], tf[alive], dl[alive]
         contrib = (
             weight[bi] * idf[bi] * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
         )
@@ -275,10 +307,13 @@ def wand_topk_arrays(
     return top_docs, top_scores, len(decoded), nb - len(decoded)
 
 
-def _wand_group_fn(k: int, k1: float, b: float, avgdl: float, with_metrics: bool):
+def _wand_group_fn(
+    k: int, k1: float, b: float, avgdl: float, with_metrics: bool,
+    dead: np.ndarray | None = None,
+):
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(key[0])
-        docs, scores, dec, skip = wand_topk_arrays(pdf, k, k1, b, avgdl)
+        docs, scores, dec, skip = wand_topk_arrays(pdf, k, k1, b, avgdl, dead)
         out = pd.DataFrame(
             {
                 "query_id": np.full(len(docs), qid, dtype=np.int32),
@@ -305,10 +340,15 @@ def bm25_topk_indexed(
 ) -> DataFrame:
     """BM25 top-k over the index. ``prune=False`` is the relational exact
     path; ``prune=True`` runs Block-Max WAND (results must be identical —
-    the ``usePruning`` escape hatch mirrors Bench.java:56)."""
+    the ``usePruning`` escape hatch mirrors Bench.java:56). Tombstoned
+    docs (index/maintenance.delete_docs) are masked on both paths."""
     if not prune:
         return bm25_topk_indexed_unpruned(spark, index_dir, qterms, k)
     seg = read_segments(spark, index_dir)
+    dead_set = tombstone_ids(spark, index_dir)
+    dead = (
+        np.sort(np.fromiter(dead_set, dtype=np.int64)) if dead_set else None
+    )
     blocks = _prepared_query_blocks(spark, index_dir, qterms, seg)
     schema = "query_id int, rank int, doc_id long, score double"
     if with_metrics:
@@ -316,11 +356,11 @@ def bm25_topk_indexed(
     return (
         blocks.select(
             "query_id", "weight", "idf", "n", "base", "max_doc_id",
-            "max_score_bound", "doc_ids_packed", "tfs_packed", "dls_packed",
+            "max_tf", "min_dl", "doc_ids_packed", "tfs_packed", "dls_packed",
         )
         .groupBy("query_id")
         .applyInPandas(
-            _wand_group_fn(k, seg["k1"], seg["b"], seg["avgdl"], with_metrics),
+            _wand_group_fn(k, seg["k1"], seg["b"], seg["avgdl"], with_metrics, dead),
             schema=schema,
         )
     )
@@ -339,6 +379,7 @@ def threshold_search_indexed(
     decoded = blocks.select(*carry, "n", "base", "doc_ids_packed", "tfs_packed", "dls_packed").mapInPandas(
         _decode_map_fn(carry), schema=schema
     )
+    decoded = _mask_tombstones(spark, index_dir, decoded)
     k1, b, avgdl = seg["k1"], seg["b"], seg["avgdl"]
     contrib = (
         F.col("weight") * F.col("idf") * F.col("tf")

@@ -14,7 +14,7 @@ jvector-base/.../graph/disk/OnDiskGraphIndex.java:72, CommonHeader.java:59-152):
                       block_size, token_pattern   (the header/footer analog)
       dictionary/     term, term_id, df, cf, n_salts
       postings/       part_id, term_id, salt, block_id, n, base,
-                      max_doc_id, max_tf, max_score_bound,
+                      max_doc_id, max_tf, min_dl,
                       doc_ids_packed, tfs_packed, dls_packed
                       — block-max metadata FUSED inline with the packed
                       payload (one scan serves prune+score, the analog of
@@ -42,7 +42,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-FORMAT_VERSION = 1
+# v2: posting blocks carry (max_tf, min_dl); the BM25 block upper bound is
+# derived at query time from current global stats, so incremental extends /
+# compactions that change n_docs/avgdl/df never leave stale baked bounds
+# (v1 stored a build-time max_score_bound).
+FORMAT_VERSION = 2
 
 TABLES = ("segments", "dictionary", "postings", "doc_stats", "doc_map", "build_lineage")
 
@@ -68,10 +72,23 @@ def read_segments(spark: SparkSession, index_dir: str) -> dict:
     return read_table(spark, index_dir, "segments").collect()[0].asDict()
 
 
+def tombstone_ids(spark: SparkSession, index_dir: str) -> set[int] | None:
+    """The current tombstone set (deleted doc_ids), or None if empty/absent.
+    Driver-side set is intentional: it is broadcast into scoring UDFs, the
+    same way the reference keeps deletions as an in-memory bitset
+    (OnHeapGraphIndex deletedNodes; marked via GraphIndexBuilder.java:681-683).
+    A set too large to broadcast is the signal to compact."""
+    path = table_path(index_dir, "tombstones")
+    if not os.path.exists(path):
+        return None
+    got = {r.doc_id for r in spark.read.parquet(path).distinct().collect()}
+    return got or None
+
+
 def block_meta(spark: SparkSession, index_dir: str) -> DataFrame:
     """Meta-only view over the fused postings table; Parquet column pruning
     means this scan never reads the packed binary columns."""
     return read_table(spark, index_dir, "postings").select(
         "term_id", "salt", "block_id", "n", "base", "max_doc_id", "max_tf",
-        "max_score_bound",
+        "min_dl",
     )
