@@ -1,0 +1,222 @@
+"""Structured-Streaming ingest: continuously index arriving transcript
+turns, with exactly-once microbatch commits and streaming corpus stats.
+
+Reference analog: jvector's IPC serve loop accepts WRITE/BULKLOAD commands
+that append vectors to a live index (jvector-examples/.../IPCService.java:
+80-159), and ``GraphIndexBuilder.buildAndMergeNewNodes`` merges new nodes
+into an existing on-disk graph (GraphIndexBuilder.java:1015-1057). The
+Spark-native shape is not a socket daemon but a Structured Streaming job:
+
+    files land in a directory (or Kafka topic on a real cluster)
+      → ``readStream`` with the fixed transcript schema
+      → ``foreachBatch``: each microbatch is appended to the index via
+        :func:`jvector_spark.index.extend.extend_index`
+
+Exactly-once: Spark's streaming checkpoint tracks *offsets*; foreachBatch
+itself is at-least-once on failure. We make the index append idempotent by
+recording every committed ``batch_id`` in a ``stream_lineage`` table inside
+the index dir and skipping batches already present — the streaming twin of
+the build's per-partition ``build_lineage`` checkpoints (B11/B12,
+CheckpointManager.java:33-112).
+
+Scale notes: each microbatch runs the same salted repartition-by-term
+encode pipeline as the batch build, so a 1000-executor cluster ingests each
+batch with full parallelism; the per-batch dictionary merge touches only
+terms present in the batch. Small delta posting files accumulate per batch
+— ``index.maintenance.compact_index`` is the matching rewrite job (run it
+on a schedule, like any LSM-ish store).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+def transcript_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of transcript turns (the sandbox stand-in for a
+    Kafka topic; swapping the source is a one-line change)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.parquet(source_dir)
+
+
+def _committed_batches(spark: SparkSession, index_dir: str) -> set[int]:
+    path = os.path.join(index_dir, "stream_lineage")
+    if not os.path.exists(path):
+        return set()
+    return {r.batch_id for r in spark.read.parquet(path).collect()}
+
+
+def _record_batch(
+    spark: SparkSession, index_dir: str, batch_id: int, metrics: dict
+) -> None:
+    spark.createDataFrame(
+        [
+            (
+                int(batch_id),
+                int(metrics.get("docs_added", metrics.get("docs", 0)) or 0),
+                int(metrics.get("postings_emitted", 0) or 0),
+                int(metrics.get("bytes_compressed", 0) or 0),
+            )
+        ],
+        "batch_id long, docs_indexed long, postings_emitted long, bytes_compressed long",
+    ).write.mode("append").parquet(os.path.join(index_dir, "stream_lineage"))
+
+
+def stream_index_transcripts(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    order_cols: list[str] | None = None,
+    doc_map_cols: list[str] | None = None,
+    n_parts: int = 8,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Run (or resume) the streaming index build. With
+    ``available_now=True`` the query drains everything currently in
+    ``source_dir`` and stops — rerunning later picks up only new files
+    (incremental ingest); with ``False`` it keeps running on the default
+    trigger. Returns the (already awaited, if availableNow) StreamingQuery.
+
+    Microbatch semantics: the first ever batch creates the index; every
+    subsequent batch is an :func:`extend_index` delta whose doc_ids continue
+    densely above the existing corpus. A batch already present in
+    ``stream_lineage`` is skipped (idempotent replay after crash).
+    """
+    order_cols = order_cols or ["conv_id", "turn_idx"]
+    from ..index.build import build_index
+    from ..index.extend import extend_index
+    from ..operators.doc_ids import assign_dense_ids
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if batch.isEmpty():
+            return
+        if batch_id in _committed_batches(s, index_dir):
+            return  # replayed after failure — already applied
+        # stable within-batch ordering: files may arrive in any order, the
+        # dense-id assignment is always over the declared natural key
+        if os.path.exists(os.path.join(index_dir, "segments", "_SUCCESS")):
+            m = extend_index(
+                batch, index_dir, order_cols=order_cols, doc_map_cols=doc_map_cols
+            )
+        else:
+            docs = assign_dense_ids(batch, order_cols, "doc_id")
+            m = build_index(
+                docs, index_dir, doc_map_cols=doc_map_cols, n_parts=n_parts
+            )
+            m["docs_added"] = batch.count()
+        _record_batch(s, index_dir, batch_id, m)
+
+    stream = transcript_stream(spark, source_dir, max_files_per_trigger)
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def streaming_role_stats(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate over the turn stream: turns and
+    distinct conversations per (window, role). Late rows beyond the
+    watermark are dropped — the streaming analog of the engine's global
+    corpus stats refresh (M2: n_docs/avgdl maintenance)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.approx_count_distinct("conv_id").alias("n_convs"),
+            F.avg(F.length("text")).alias("avg_chars"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "n_turns",
+            "n_convs",
+            "avg_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_PROGRESS_SCHEMA = (
+    "conv_id string, turns_seen long, max_turn_idx int, last_role string"
+)
+_STATE_SCHEMA = "turns_seen long, max_turn_idx int, last_role string"
+
+
+def conversation_progress(stream: DataFrame, timeout_conf: str = "NoTimeout") -> DataFrame:
+    """Stateful per-conversation tracker: cumulative turns seen, highest
+    turn_idx, and the role of the latest turn, updated per microbatch via
+    ``applyInPandasWithState`` — the custom-stateful-operator pattern the
+    engine uses where windowed aggregates can't express the semantics
+    (analog of the reference's mutable OnHeapGraphIndex accumulating
+    inserts before the immutable on-disk commit)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        conv_id = key[0]
+        turns, max_idx, last_role = (
+            state.get if state.exists else (0, -1, "")
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            turns += len(pdf)
+            top = pdf.loc[pdf["turn_idx"].idxmax()]
+            if int(top["turn_idx"]) >= int(max_idx):
+                max_idx = int(top["turn_idx"])
+                last_role = str(top["role"])
+        state.update((int(turns), int(max_idx), last_role))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "turns_seen": [int(turns)],
+                "max_turn_idx": [int(max_idx)],
+                "last_role": [last_role],
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=_PROGRESS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )
