@@ -223,6 +223,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("query_id", "rank", "doc_id", _u6(F.col("score")).alias("score_u6"))
         )
 
+    def q_filter_topk_indexed(spark, sf):
+        # Bits-acceptOrds analog pushed into the index path (Q8): the accept
+        # set (lang='en') ships into the WAND kernel as a sorted id mask
+        from jvector_spark.index.query import bm25_topk_indexed_filtered
+
+        idx = _index_for(spark, sf)
+        accept = _docs(spark, sf).filter(F.col("lang") == "en").select("doc_id")
+        t = bm25_topk_indexed_filtered(spark, idx, _qterms(spark), accept, k=10)
+        return t.select("query_id", "rank", "doc_id", _u6(F.col("score")).alias("score_u6"))
+
     def q_threshold_search(spark, sf):
         idx = _index_for(spark, sf)
         t = threshold_search_indexed(spark, idx, _qterms(spark), THRESH)
@@ -422,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and": q_boolean_and,
         "boolean_or": q_boolean_or,
         "filter_topk": q_filter_topk,
+        "filter_topk_indexed": q_filter_topk_indexed,
         "threshold_search": q_threshold_search,
         "phrase_count": q_phrase_count,
         "token_positions": q_token_positions,
@@ -605,6 +616,13 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE term IN ('{BOOL_TERMS[0]}','{BOOL_TERMS[1]}')"
         ),
         "filter_topk": (
+            f"{_BM25_CTE}, filtered AS (SELECT s.* FROM scores s "
+            "JOIN documents d USING (doc_id) WHERE d.lang = 'en') "
+            "SELECT query_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank, "
+            f"doc_id, {u6('score')} AS score_u6 FROM filtered QUALIFY rank <= 10"
+        ),
+        "filter_topk_indexed": (
             f"{_BM25_CTE}, filtered AS (SELECT s.* FROM scores s "
             "JOIN documents d USING (doc_id) WHERE d.lang = 'en') "
             "SELECT query_id, "

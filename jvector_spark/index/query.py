@@ -206,6 +206,7 @@ def wand_topk_arrays(
     b: float,
     avgdl: float,
     dead: np.ndarray | None = None,
+    accept: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Pure numpy Block-Max top-k for one query's posting blocks.
 
@@ -221,7 +222,9 @@ def wand_topk_arrays(
     NodeQueue.java:104-129). Segments partition doc space, so per-segment
     exact scores are complete and the result equals the unpruned path
     exactly. ``dead`` (sorted tombstoned doc_ids) are masked before
-    scoring so deleted docs neither fill nor shadow result slots.
+    scoring so deleted docs neither fill nor shadow result slots;
+    ``accept`` (sorted doc_ids) restricts the result universe — the
+    Bits-acceptOrds predicate filter of GraphSearcher.java:202-205 (Q8).
     Returns (doc_ids, scores, blocks_decoded, blocks_skipped).
     """
     nb = len(pdf)
@@ -274,6 +277,9 @@ def wand_topk_arrays(
         if dead is not None and len(dead):
             alive = ~np.isin(docs, dead, assume_unique=False)
             docs, tf, dl = docs[alive], tf[alive], dl[alive]
+        if accept is not None:
+            keep = np.isin(docs, accept, assume_unique=False)
+            docs, tf, dl = docs[keep], tf[keep], dl[keep]
         contrib = (
             weight[bi] * idf[bi] * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
         )
@@ -310,10 +316,13 @@ def wand_topk_arrays(
 def _wand_group_fn(
     k: int, k1: float, b: float, avgdl: float, with_metrics: bool,
     dead: np.ndarray | None = None,
+    accept: np.ndarray | None = None,
 ):
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(key[0])
-        docs, scores, dec, skip = wand_topk_arrays(pdf, k, k1, b, avgdl, dead)
+        docs, scores, dec, skip = wand_topk_arrays(
+            pdf, k, k1, b, avgdl, dead, accept
+        )
         out = pd.DataFrame(
             {
                 "query_id": np.full(len(docs), qid, dtype=np.int32),
@@ -390,4 +399,98 @@ def threshold_search_indexed(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").alias("score"))
         .filter(F.col("score") >= theta)
+    )
+
+
+# ---------------------------------------------------------------------------
+# predicate-filtered search (Bits acceptOrds analog, Q8)
+# ---------------------------------------------------------------------------
+
+# above this many accepted ids, stop shipping the mask into the WAND UDF and
+# switch to the shuffle-join relational plan — same crossover reasoning as
+# Spark's own broadcast-join threshold
+ACCEPT_BROADCAST_LIMIT = 5_000_000
+
+
+def bm25_topk_indexed_filtered(
+    spark: SparkSession,
+    index_dir: str,
+    qterms: DataFrame,
+    accept: DataFrame,
+    k: int = 10,
+    accept_limit: int = ACCEPT_BROADCAST_LIMIT,
+) -> DataFrame:
+    """Top-k restricted to the docs in ``accept`` (a DataFrame with a
+    ``doc_id`` column — typically the output of any predicate over
+    ``doc_map`` or the source table). Reference analog: the ``Bits
+    acceptOrds`` result-universe filter (GraphSearcher.java:202-205,
+    TestLowCardinalityFiltering.java:53-57).
+
+    Physical strategy, chosen like the reference chooses filter strategy by
+    selectivity: a *selective* predicate yields a small accept set → ship it
+    into the Block-Max WAND kernel as a sorted id mask (pruning stays
+    lossless: unfiltered block bounds still upper-bound filtered scores). A
+    *broad* predicate (> ``accept_limit`` ids) → relational plan: decode
+    matched blocks, hash-join the accept set on doc_id (Catalyst/AQE pick
+    broadcast vs shuffle), score JVM-side, window top-k. Both paths return
+    identical results (tested)."""
+    n_accept = accept.count()
+    if n_accept <= accept_limit:
+        ids = np.sort(
+            np.fromiter(
+                (r[0] for r in accept.select("doc_id").distinct().collect()),
+                dtype=np.int64,
+            )
+        )
+        seg = read_segments(spark, index_dir)
+        dead_set = tombstone_ids(spark, index_dir)
+        dead = (
+            np.sort(np.fromiter(dead_set, dtype=np.int64)) if dead_set else None
+        )
+        blocks = _prepared_query_blocks(spark, index_dir, qterms, seg)
+        return (
+            blocks.select(
+                "query_id", "weight", "idf", "n", "base", "max_doc_id",
+                "max_tf", "min_dl", "doc_ids_packed", "tfs_packed", "dls_packed",
+            )
+            .groupBy("query_id")
+            .applyInPandas(
+                _wand_group_fn(
+                    k, seg["k1"], seg["b"], seg["avgdl"], False, dead, ids
+                ),
+                schema="query_id int, rank int, doc_id long, score double",
+            )
+        )
+
+    # relational path: scales to arbitrarily large accept sets
+    seg = read_segments(spark, index_dir)
+    blocks = _prepared_query_blocks(spark, index_dir, qterms, seg)
+    carry = ["term_id", "query_id", "weight", "idf"]
+    schema = (
+        "term_id long, query_id int, weight double, idf double, "
+        "doc_id long, tf long, dl long"
+    )
+    decoded = blocks.select(
+        *carry, "n", "base", "doc_ids_packed", "tfs_packed", "dls_packed"
+    ).mapInPandas(_decode_map_fn(carry), schema=schema)
+    decoded = _mask_tombstones(spark, index_dir, decoded)
+    decoded = decoded.join(accept.select("doc_id").distinct(), "doc_id")
+    k1, b, avgdl = seg["k1"], seg["b"], seg["avgdl"]
+    contrib = (
+        F.col("weight") * F.col("idf") * F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        decoded.withColumn("contrib", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )

@@ -155,3 +155,35 @@ def test_build_resume_after_injected_failure(spark, corpus, tmp_path, query_set)
     lineage = read_table(spark, d, "build_lineage")
     assert lineage.filter("status = 'complete'").count() == 4
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_filtered_topk_both_paths_equal_bruteforce(spark, corpus, index_dir, query_set):
+    """Bits-acceptOrds analog (Q8): top-k restricted to an accept set must
+    equal brute-force scoring of only the accepted docs — on both physical
+    paths (WAND id-mask and relational join), mirroring
+    TestLowCardinalityFiltering.java:53-57."""
+    from jvector_spark.index.query import bm25_topk_indexed_filtered
+    from jvector_spark.operators.topk import bm25_score_all, queries_df
+    from pyspark.sql import Window
+
+    qdf = queries_df(
+        spark, list(zip(query_set["query_id"][:10], [list(t) for t in query_set["terms"][:10]]))
+    )
+    accept = corpus.filter(F.col("role") == "assistant").select("doc_id")
+
+    s = bm25_score_all(corpus, qdf).join(accept, "doc_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    want = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+        for r in s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .collect()
+    }
+    for limit, tag in ((10**9, "wand-mask"), (0, "relational")):
+        got = {
+            (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+            for r in bm25_topk_indexed_filtered(
+                spark, index_dir, qdf, accept, k=10, accept_limit=limit
+            ).collect()
+        }
+        assert got == want, tag
