@@ -84,6 +84,17 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _positions_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """The shared index with the positional feature attached on demand
+    (feature-flag presence on disk, the FeatureId analog)."""
+    from jvector_spark.index.positions import add_positions, has_positions
+
+    idx = _index_for(spark, sf_dir)
+    if not has_positions(idx):
+        add_positions(_docs(spark, sf_dir), idx)
+    return idx
+
+
 def _deleted_index_for(spark: SparkSession, sf_dir: str) -> str:
     """Fresh index over documents with DELETE_IDS tombstoned (never mutates
     the shared _INDEX_CACHE index)."""
@@ -240,6 +251,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_phrase_count(spark, sf):
         return phrase_count(_docs(spark, sf), *PHRASE)
+
+    def q_phrase_count_indexed(spark, sf):
+        from jvector_spark.index.positions import phrase_count_indexed
+
+        idx = _positions_index_for(spark, sf)
+        return phrase_count_indexed(spark, idx, *PHRASE)
 
     def q_token_positions(spark, sf):
         return token_positions(_docs(spark, sf))
@@ -435,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_topk_indexed": q_filter_topk_indexed,
         "threshold_search": q_threshold_search,
         "phrase_count": q_phrase_count,
+        "phrase_count_indexed": q_phrase_count_indexed,
         "token_positions": q_token_positions,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -634,6 +652,14 @@ def oracle_sql() -> dict[str, str]:
             f"FROM scores WHERE score >= {THRESH}"
         ),
         "phrase_count": (
+            f"WITH {_TOKS}, "
+            "pos AS (SELECT doc_id, unnest(list_zip(l, range(1, len(l) + 1))) AS z FROM toks), "
+            "p AS (SELECT doc_id, z[1] AS term, z[2]::BIGINT AS pos FROM pos) "
+            "SELECT a.doc_id, count(*)::BIGINT AS n_phrase FROM p a JOIN p b "
+            f"ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            f"WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}' GROUP BY a.doc_id"
+        ),
+        "phrase_count_indexed": (
             f"WITH {_TOKS}, "
             "pos AS (SELECT doc_id, unnest(list_zip(l, range(1, len(l) + 1))) AS z FROM toks), "
             "p AS (SELECT doc_id, z[1] AS term, z[2]::BIGINT AS pos FROM pos) "

@@ -1,0 +1,362 @@
+"""Optional positional-postings feature: per-occurrence token positions
+packed beside the inverted index, enabling index-level phrase queries.
+
+Reference analog: the on-disk format's *feature-flagged per-node payloads*
+— a graph index optionally inlines INLINE_VECTORS / FUSED_PQ / NVQ_VECTORS
+records per node, discovered via a header bitset
+(jvector-base/.../graph/disk/feature/FeatureId.java:31-62,
+AbstractGraphIndexWriter.java:46-53). Here the optional feature is a
+``positions/`` table (same hive ``part_id`` bucketing as ``postings/``);
+its presence on disk *is* the feature flag. Indexes built without it answer
+every non-positional query unchanged.
+
+Wire format per positions block (BLOCK_SIZE docs per block, same doc-gap
+delta+varint scheme as the core codec):
+
+    doc_ids_packed:   varint(doc gaps)           one per doc in block
+    counts_packed:    varint(occurrences per doc)
+    positions_packed: varint(position deltas)    one per occurrence;
+                      a doc's first position is stored raw, subsequent
+                      positions as gaps (positions are 1-based, strictly
+                      increasing within a doc)
+
+Phrase matching decodes only the queried terms' blocks (directory-pruned)
+into a flat (term_id, doc_id, pos) relation and self-joins on
+(doc_id, pos+1) JVM-side — the relational twin of Lucene's positional
+intersection, and exactly the shape of the brute-force oracle, so results
+must match it row-for-row (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import BLOCK_SIZE
+from ..operators.phrase import token_positions
+from .build import _varint_encode_with_lengths
+from .codec import varint_decode
+from .storage import read_segments, read_table, table_path
+
+POSITIONS_SCHEMA = (
+    "term_id long, salt int, block_id int, n int, base long, max_doc_id long, "
+    "n_occ int, doc_ids_packed binary, counts_packed binary, positions_packed binary"
+)
+
+
+def _empty_positions_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "term_id": pd.Series(dtype="int64"),
+            "salt": pd.Series(dtype="int32"),
+            "block_id": pd.Series(dtype="int32"),
+            "n": pd.Series(dtype="int32"),
+            "base": pd.Series(dtype="int64"),
+            "max_doc_id": pd.Series(dtype="int64"),
+            "n_occ": pd.Series(dtype="int32"),
+            "doc_ids_packed": pd.Series(dtype=object),
+            "counts_packed": pd.Series(dtype=object),
+            "positions_packed": pd.Series(dtype=object),
+        }
+    )
+
+
+def encode_positions_pdf(pdf: pd.DataFrame, block_size: int = BLOCK_SIZE) -> pd.DataFrame:
+    """Vectorized block encoder over one partition of the occurrence
+    relation (term_id, salt, doc_id, pos); rows may arrive unsorted."""
+    if len(pdf) == 0:
+        return _empty_positions_pdf()
+    pdf = pdf.sort_values(["term_id", "salt", "doc_id", "pos"], kind="mergesort")
+    term = pdf["term_id"].to_numpy(np.int64)
+    salt = pdf["salt"].to_numpy(np.int32)
+    d = pdf["doc_id"].to_numpy(np.int64)
+    pos = pdf["pos"].to_numpy(np.int64)
+    n_occ_total = len(d)
+
+    # occurrence-level boundaries
+    grp_start = np.ones(n_occ_total, dtype=bool)  # (term, salt) run starts
+    grp_start[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+    doc_start = grp_start.copy()
+    doc_start[1:] |= d[1:] != d[:-1]
+
+    # position deltas: raw at each doc start, gap otherwise
+    pdelta = pos.copy()
+    pdelta[1:] = np.where(doc_start[1:], pos[1:], pos[1:] - pos[:-1])
+    pos_buf, pos_len = _varint_encode_with_lengths(pdelta.astype(np.uint64))
+    pos_off = np.concatenate(([0], np.cumsum(pos_len)))
+
+    # doc-level arrays
+    dstarts = np.flatnonzero(doc_start)  # occ index of each doc's first occ
+    dends = np.empty_like(dstarts)
+    dends[:-1] = dstarts[1:]
+    dends[-1] = n_occ_total
+    dd = d[dstarts]
+    dterm = term[dstarts]
+    dsalt = salt[dstarts]
+    counts = (dends - dstarts).astype(np.int64)
+    n_docs = len(dd)
+
+    dgrp_start = np.ones(n_docs, dtype=bool)
+    dgrp_start[1:] = (dterm[1:] != dterm[:-1]) | (dsalt[1:] != dsalt[:-1])
+    gidx = np.cumsum(dgrp_start) - 1
+    first_of_group = np.flatnonzero(dgrp_start)
+    dpos_in_grp = np.arange(n_docs) - first_of_group[gidx]
+    blk_start = dgrp_start | (dpos_in_grp % block_size == 0)
+
+    prev_d = np.empty(n_docs, dtype=np.int64)
+    prev_d[1:] = dd[:-1]
+    prev_d[dgrp_start] = dd[dgrp_start]  # first gap 0; base = first doc itself
+    gaps = (dd - prev_d).astype(np.uint64)
+    id_buf, id_len = _varint_encode_with_lengths(gaps)
+    id_off = np.concatenate(([0], np.cumsum(id_len)))
+    cnt_buf, cnt_len = _varint_encode_with_lengths(counts.astype(np.uint64))
+    cnt_off = np.concatenate(([0], np.cumsum(cnt_len)))
+
+    bstarts = np.flatnonzero(blk_start)  # doc index of each block start
+    bends = np.empty_like(bstarts)
+    bends[:-1] = bstarts[1:]
+    bends[-1] = n_docs
+    base = np.where(
+        bstarts == first_of_group[gidx[bstarts]], dd[bstarts], dd[bstarts - 1]
+    )
+    # occurrence byte-ranges per block
+    occ_s = dstarts[bstarts]
+    occ_e = np.where(bends < n_docs, dstarts[np.minimum(bends, n_docs - 1)], n_occ_total)
+    occ_e[bends >= n_docs] = n_occ_total
+
+    return pd.DataFrame(
+        {
+            "term_id": dterm[bstarts],
+            "salt": dsalt[bstarts].astype("int32"),
+            "block_id": (dpos_in_grp[bstarts] // block_size).astype("int32"),
+            "n": (bends - bstarts).astype("int32"),
+            "base": base,
+            "max_doc_id": dd[bends - 1],
+            "n_occ": (occ_e - occ_s).astype("int32"),
+            "doc_ids_packed": [
+                id_buf[id_off[s] : id_off[e]] for s, e in zip(bstarts, bends)
+            ],
+            "counts_packed": [
+                cnt_buf[cnt_off[s] : cnt_off[e]] for s, e in zip(bstarts, bends)
+            ],
+            "positions_packed": [
+                pos_buf[pos_off[s] : pos_off[e]] for s, e in zip(occ_s, occ_e)
+            ],
+        }
+    )
+
+
+def _encode_positions_map_fn(block_size: int):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = [p for p in it]
+        if not batches:
+            yield _empty_positions_pdf()
+            return
+        yield encode_positions_pdf(
+            pd.concat(batches, ignore_index=True), block_size
+        )
+
+    return fn
+
+
+def add_positions(
+    corpus: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Attach the positional feature to an existing index (built from the
+    same corpus): one extra shuffle-by-(term_id, salt) over the occurrence
+    relation, written into the same part_id buckets as ``postings/``."""
+    spark = corpus.sparkSession
+    seg = read_segments(spark, index_dir)
+    n_docs, n_parts = int(seg["n_docs"]), int(seg["n_parts"])
+    block_size = int(seg["block_size"])
+
+    occ = token_positions(corpus, text_col, id_col).withColumnRenamed(id_col, "doc_id")
+    dct = read_table(spark, index_dir, "dictionary")
+    enriched = (
+        occ.join(dct.select("term", "term_id", "n_salts"), "term")
+        .withColumn(
+            "salt",
+            F.least(
+                (F.col("doc_id") * F.col("n_salts") / F.lit(n_docs)).cast("int"),
+                F.col("n_salts") - 1,
+            ).cast("int"),
+        )
+        .withColumn(
+            "part_id",
+            F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_parts)).cast("int"),
+        )
+        .select("part_id", "term_id", "salt", "doc_id", "pos")
+    )
+    blocks = enriched.repartition("part_id", "term_id", "salt").mapInPandas(
+        lambda it: _carry_part(it, block_size), schema="part_id int, " + POSITIONS_SCHEMA
+    )
+    blocks.write.mode("overwrite").partitionBy("part_id").parquet(
+        table_path(index_dir, "positions")
+    )
+    out = read_table(spark, index_dir, "positions")
+    return {"blocks": out.count(), "occurrences": int(out.agg(F.sum("n_occ")).collect()[0][0] or 0)}
+
+
+def _carry_part(it: Iterator[pd.DataFrame], block_size: int) -> Iterator[pd.DataFrame]:
+    batches = [p for p in it]
+    if not batches:
+        e = _empty_positions_pdf()
+        e.insert(0, "part_id", pd.Series(dtype="int32"))
+        yield e
+        return
+    pdf = pd.concat(batches, ignore_index=True)
+    part_by_key = pdf.drop_duplicates(["term_id", "salt"]).set_index(
+        ["term_id", "salt"]
+    )["part_id"]
+    out = encode_positions_pdf(pdf.drop(columns=["part_id"]), block_size)
+    out.insert(
+        0,
+        "part_id",
+        part_by_key.reindex(
+            pd.MultiIndex.from_arrays([out["term_id"], out["salt"]])
+        ).to_numpy(np.int32),
+    )
+    yield out
+
+
+def has_positions(index_dir: str) -> bool:
+    """Feature-flag check (the FeatureId-bitset analog)."""
+    import os
+
+    return os.path.exists(table_path(index_dir, "positions"))
+
+
+# ---------------------------------------------------------------------------
+# decode + phrase query
+# ---------------------------------------------------------------------------
+
+def _decode_positions_map_fn():
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            terms_out, docs_out, pos_out = [], [], []
+            for i in range(len(pdf)):
+                n = int(pdf["n"].iat[i])
+                n_occ = int(pdf["n_occ"].iat[i])
+                gaps = varint_decode(pdf["doc_ids_packed"].iat[i], n).astype(np.int64)
+                gaps[0] += int(pdf["base"].iat[i])
+                docs = np.cumsum(gaps)
+                counts = varint_decode(pdf["counts_packed"].iat[i], n).astype(np.int64)
+                deltas = varint_decode(
+                    pdf["positions_packed"].iat[i], n_occ
+                ).astype(np.int64)
+                c = np.cumsum(deltas)
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                seg_base = c[starts] - deltas[starts]
+                pos = c - np.repeat(seg_base, counts)
+                terms_out.append(
+                    np.full(n_occ, int(pdf["term_id"].iat[i]), dtype=np.int64)
+                )
+                docs_out.append(np.repeat(docs, counts))
+                pos_out.append(pos)
+            yield pd.DataFrame(
+                {
+                    "term_id": np.concatenate(terms_out),
+                    "doc_id": np.concatenate(docs_out),
+                    "pos": np.concatenate(pos_out),
+                }
+            )
+
+    return fn
+
+
+def decode_positions(
+    spark: SparkSession, index_dir: str, term_ids: list[int] | None = None
+) -> DataFrame:
+    """(term_id, doc_id, pos) — decoded occurrence relation, optionally
+    restricted to ``term_ids`` with directory-level part pruning."""
+    seg = read_segments(spark, index_dir)
+    pos = read_table(spark, index_dir, "positions")
+    if term_ids is not None:
+        dct = read_table(spark, index_dir, "dictionary")
+        salts = {
+            int(r.term_id): int(r.n_salts)
+            for r in dct.filter(F.col("term_id").isin(list(term_ids)))
+            .select("term_id", "n_salts")
+            .collect()
+        }
+        parts = _parts_for(spark, salts, int(seg["n_parts"]))
+        pos = pos.filter(
+            F.col("part_id").isin(parts) & F.col("term_id").isin(list(term_ids))
+        )
+    return pos.mapInPandas(
+        _decode_positions_map_fn(), schema="term_id long, doc_id long, pos long"
+    )
+
+
+def _parts_for(spark: SparkSession, salts: dict[int, int], n_parts: int) -> list[int]:
+    """part_ids holding any (term_id, salt) pair — xxhash64 is JVM-side, so
+    resolve via a tiny local-relation Spark expression (rows = Σ n_salts of
+    the *queried* terms only, never corpus-sized)."""
+    pairs = [(t, s) for t, ns in salts.items() for s in range(ns)]
+    if not pairs:
+        return []
+    return [
+        r.part_id
+        for r in spark.createDataFrame(pairs, "term_id long, salt int")
+        .select(
+            F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_parts))
+            .cast("int")
+            .alias("part_id")
+        )
+        .distinct()
+        .collect()
+    ]
+
+
+def phrase_count_indexed(
+    spark: SparkSession, index_dir: str, *terms: str
+) -> DataFrame:
+    """(doc_id, n_phrase) — docs containing the exact phrase ``terms``
+    (adjacent, in order), answered from the positional feature. Must equal
+    the brute-force ``operators.phrase.phrase_count`` exactly."""
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    if not has_positions(index_dir):
+        raise ValueError(f"index at {index_dir} has no positions feature")
+    seg = read_segments(spark, index_dir)
+    dct = read_table(spark, index_dir, "dictionary")
+    tid_rows = dct.filter(F.col("term").isin(list(set(terms)))).select(
+        "term", "term_id", "n_salts"
+    ).collect()
+    tids = {r.term: r.term_id for r in tid_rows}
+    if len(tids) < len(set(terms)):
+        return spark.createDataFrame([], "doc_id long, n_phrase long")
+
+    # directory pruning: compute the part ids of every (term_id, salt) pair
+    salts = {int(r.term_id): int(r.n_salts) for r in tid_rows}
+    parts = _parts_for(spark, salts, int(seg["n_parts"]))
+    pos = read_table(spark, index_dir, "positions").filter(
+        F.col("part_id").isin(parts)
+        & F.col("term_id").isin([int(v) for v in tids.values()])
+    )
+    occ = pos.mapInPandas(
+        _decode_positions_map_fn(), schema="term_id long, doc_id long, pos long"
+    )
+
+    acc = occ.filter(F.col("term_id") == int(tids[terms[0]])).select(
+        "doc_id", F.col("pos").alias("p")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = occ.filter(F.col("term_id") == int(tids[t])).select(
+            "doc_id", F.col("pos").alias("p_next")
+        )
+        acc = (
+            acc.join(nxt, "doc_id")
+            .filter(F.col("p_next") == F.col("p") + i)
+            .select("doc_id", "p")
+        )
+    return acc.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_phrase"))
