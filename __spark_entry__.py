@@ -378,6 +378,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = cosine_topk_lsh(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
         return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
 
+    def q_ann_topk_ivf(spark, sf):
+        # IVF probe path (C1 k-means codebook analog): rows-only check —
+        # approximate by construction; full-probe == exact and recall floors
+        # are pytest-enforced (tests/test_ivf.py)
+        from jvector_spark.operators.similarity import ivf_topk, ivf_train
+
+        emb = _read(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        base = emb.filter(F.col("vec_id") != 0)
+        cents = ivf_train(emb, n_clusters=8, n_iters=6, seed=77)
+        t = ivf_topk(base, cents, list(qv), k=10, n_probe=3)
+        return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
+
     def q_scan_filter(spark, sf):
         li = _read(spark, sf, "lineitem")
         return li.filter(
@@ -472,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "scan_filter": q_scan_filter,
         "group_agg": q_group_agg,
         "hash_join": q_hash_join,
@@ -743,9 +757,10 @@ def oracle_sql() -> dict[str, str]:
             + u6("cos")
             + " AS cos_u6 FROM s QUALIFY rank <= 10"
         ),
-        # ann_topk_lsh: approximate operator, hyperplanes live in numpy —
-        # intentionally no SQL oracle (driver records rows-only); its recall
-        # vs ann_topk is asserted in pytest instead.
+        # ann_topk_lsh / ann_topk_ivf: approximate operators (hyperplanes /
+        # k-means centroids live in numpy) — intentionally no SQL oracle
+        # (driver records rows-only); full-probe == exact and recall floors
+        # are asserted in pytest instead.
         "scan_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem "
             "WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05"

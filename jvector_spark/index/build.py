@@ -202,11 +202,26 @@ def build_index(
     resume: bool = False,
     fail_after_parts: int | None = None,
     keep_staging: bool = False,
+    checkpointed: bool = True,
 ) -> dict:
     """Build (or resume) the full index at ``index_dir``. Returns build
     metrics. ``fail_after_parts`` injects a crash after that many part
     commits (for resume tests — the analog of the reference's checkpoint
-    kill/restart tests)."""
+    kill/restart tests).
+
+    ``checkpointed=False`` is the single-shot fast path: no staging
+    materialization, one encode+write job covering every part (still hive-
+    partitioned by part_id, so the on-disk layout and every query path are
+    identical). Use it when the job-level retry (rerun the whole build) is
+    an acceptable failure-domain — e.g. moderate corpora or benchmarking;
+    the checkpointed path costs one extra corpus-sized write+read plus a
+    fixed ~1s of driver scheduling per part, which buys partition-level
+    restart (B11/B12)."""
+    if not checkpointed:
+        return _build_index_single_shot(
+            corpus, index_dir, text_col, id_col, doc_map_cols, k1, b,
+            block_size, salt_threshold, target_salt_postings, n_parts,
+        )
     spark = corpus.sparkSession
     staging_dir = os.path.join(index_dir, "_staging_tf")
     lineage_path = table_path(index_dir, "build_lineage")
@@ -356,4 +371,116 @@ def build_index(
         "parts_built": committed,
         "postings_emitted": int(totals["postings"]),
         "bytes_compressed": int(totals["bytes"]),
+    }
+
+
+def _build_index_single_shot(
+    corpus: DataFrame,
+    index_dir: str,
+    text_col: str,
+    id_col: str,
+    doc_map_cols: list[str] | None,
+    k1: float,
+    b: float,
+    block_size: int,
+    salt_threshold: int,
+    target_salt_postings: int,
+    n_parts: int,
+) -> dict:
+    """Fast path: 3-4 Spark jobs total, no staging round-trip.
+
+    Jobs: (1) doc_stats write with n_docs/avgdl observed on the same pass,
+    (2) dictionary write, (3) optional doc_map write, (4) enriched tf →
+    repartition(part_id, term_id, salt) → vectorized encode → postings
+    write (metrics observed in-flight). The output layout is byte-for-byte
+    the same scheme as the checkpointed path (verified by tests)."""
+    spark = corpus.sparkSession
+    corpus = corpus.persist()
+
+    tf = term_freq(corpus, text_col, id_col)
+    dstats = doc_stats(corpus, text_col, id_col)
+    obs_stats = Observation("corpus_stats")
+    dstats = dstats.observe(
+        obs_stats, F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    write_table(dstats, index_dir, "doc_stats")
+    st = obs_stats.get
+    n_docs, avgdl = int(st["n"]), float(st["avgdl"])
+
+    dct = build_dictionary(tf, id_col=id_col).withColumn(
+        "n_salts",
+        F.when(
+            F.col("df") > salt_threshold,
+            F.ceil(F.col("df") / F.lit(target_salt_postings)).cast("int"),
+        ).otherwise(F.lit(1)),
+    )
+    write_table(dct, index_dir, "dictionary")
+    if doc_map_cols:
+        write_table(corpus.select(id_col, *doc_map_cols), index_dir, "doc_map")
+
+    dct_r = read_table(spark, index_dir, "dictionary")
+    enriched = (
+        tf.join(dct_r.select("term", "term_id", "n_salts"), "term")
+        .join(dstats.select(id_col, "dl"), id_col)
+        .withColumn(
+            "salt",
+            F.least(
+                (F.col(id_col) * F.col("n_salts") / F.lit(n_docs)).cast("int"),
+                F.col("n_salts") - 1,
+            ).cast("int"),
+        )
+        .withColumn(
+            "part_id",
+            F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_parts)).cast("int"),
+        )
+        .select(
+            "part_id", "term_id", "salt", F.col(id_col).alias("doc_id"), "tf", "dl"
+        )
+    )
+    obs = Observation("build_metrics")
+    blocks = (
+        enriched.repartition("part_id", "term_id", "salt")
+        .mapInPandas(
+            _encode_map_fn(block_size, carry_part_id=True),
+            schema="part_id int, " + POSTINGS_SCHEMA,
+        )
+        .observe(
+            obs,
+            F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
+            (
+                F.coalesce(F.sum(F.length("doc_ids_packed")), F.lit(0))
+                + F.coalesce(F.sum(F.length("tfs_packed")), F.lit(0))
+                + F.coalesce(F.sum(F.length("dls_packed")), F.lit(0))
+            ).alias("bytes"),
+        )
+    )
+    blocks.write.mode("overwrite").partitionBy("part_id").parquet(
+        table_path(index_dir, "postings")
+    )
+    m = obs.get
+
+    # lineage: one job-level row (part_id = -1 marks "all parts, one commit")
+    spark.createDataFrame(
+        [(-1, n_docs, int(m["postings"]), int(m["bytes"]), "complete")],
+        "part_id int, docs_indexed long, postings_emitted long, "
+        "bytes_compressed long, status string",
+    ).write.mode("overwrite").parquet(table_path(index_dir, "build_lineage"))
+
+    seg = spark.createDataFrame(
+        [
+            (
+                FORMAT_VERSION, n_docs, avgdl, float(k1), float(b),
+                int(block_size), TOKEN_PATTERN, int(n_parts),
+            )
+        ],
+        "format_version int, n_docs long, avgdl double, k1 double, b double, "
+        "block_size int, token_pattern string, n_parts int",
+    )
+    write_table(seg, index_dir, "segments")
+    corpus.unpersist()
+    return {
+        "parts": n_parts,
+        "parts_built": n_parts,
+        "postings_emitted": int(m["postings"]),
+        "bytes_compressed": int(m["bytes"]),
     }

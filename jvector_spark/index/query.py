@@ -318,7 +318,7 @@ def _wand_group_fn(
     dead: np.ndarray | None = None,
     accept: np.ndarray | None = None,
 ):
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(key[0])
         docs, scores, dec, skip = wand_topk_arrays(
             pdf, k, k1, b, avgdl, dead, accept

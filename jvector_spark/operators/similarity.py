@@ -209,3 +209,119 @@ def embedding_near_dups_lsh(
         # pair is generated at most once
         .select("a", "b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means codebook analog
+# ---------------------------------------------------------------------------
+
+IVF_MAX_TRAINING = 131_072  # reference: MAX_PQ_TRAINING_SET_SIZE = 128k
+                            # (quantization/ProductQuantization.java:67)
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 10,
+    sample_size: int = IVF_MAX_TRAINING,
+    seed: int = 77,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means over a bounded training sample —
+    the coarse-quantizer twin of the reference's PQ codebook training
+    (k-means++ init + Lloyd iterations, capped training set;
+    quantization/KMeansPlusPlusClusterer.java:1-450,
+    ProductQuantization.java:88-154). Returns L2-normalized centroids
+    (n_clusters × dim, float64).
+
+    The sample is the lowest ``sample_size`` ids (TakeOrderedAndProject —
+    no global sort), so training is reproducible at any corpus size."""
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(int(sample_size))
+        .toPandas()
+    )
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n = len(X)
+    k = min(n_clusters, n)
+    rng = np.random.default_rng(seed)
+
+    # k-means++ seeding (distance = 1 - cos on the unit sphere)
+    centroids = np.empty((k, X.shape[1]))
+    centroids[0] = X[int(rng.integers(n))]
+    d2 = 1.0 - X @ centroids[0]
+    for j in range(1, k):
+        p = np.maximum(d2, 0)
+        s = p.sum()
+        idx = int(rng.choice(n, p=p / s)) if s > 0 else int(rng.integers(n))
+        centroids[j] = X[idx]
+        d2 = np.minimum(d2, 1.0 - X @ centroids[j])
+
+    for _ in range(n_iters):
+        assign = np.argmax(X @ centroids.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                centroids[j] = c / max(np.linalg.norm(c), 1e-12)
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster) — nearest-centroid assignment, Arrow-vectorized
+    (whole-batch ``X @ C.T`` argmax; the bulk-ADC shape of Q14). At cluster
+    scale this relation is written ``partitionBy(cluster)`` so a probe scans
+    only its clusters' files (partition pruning)."""
+    import pandas as pd
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": np.argmax(X @ C.T, axis=1).astype(np.int32),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} long, cluster int"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    assignments: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the ``n_probe`` clusters nearest the
+    query (IVF probe — the analog of the graph search visiting a small
+    neighborhood). ``n_probe == n_clusters`` degrades gracefully to the
+    exact scan (tested identical to ``cosine_topk``)."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(C @ q), kind="stable")[: int(n_probe)]]
+    if assignments is None:
+        assignments = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cand_ids = assignments.filter(F.col("cluster").isin(probes)).select(id_col)
+    cand = embeddings.join(cand_ids, id_col)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -187,3 +187,35 @@ def test_filtered_topk_both_paths_equal_bruteforce(spark, corpus, index_dir, que
             ).collect()
         }
         assert got == want, tag
+
+
+def test_single_shot_build_equals_checkpointed(spark, corpus, index_dir, query_set, tmp_path):
+    """checkpointed=False must produce a logically identical index: same
+    segments stats, same decoded postings, same top-k (fast-path == slow-
+    path idiom, the TestFusedGraphIndex equality analog)."""
+    from jvector_spark.index.build import build_index
+    from jvector_spark.index.query import bm25_topk_indexed, decode_postings
+    from jvector_spark.index.storage import read_segments
+    from jvector_spark.operators.topk import queries_df
+
+    d = str(tmp_path / "fastidx")
+    build_index(
+        corpus, d, salt_threshold=64, target_salt_postings=64, n_parts=4,
+        checkpointed=False,
+    )
+    a, b = read_segments(spark, index_dir), read_segments(spark, d)
+    assert a == b
+    cnt = lambda p: decode_postings(spark, p).count()  # noqa: E731
+    assert cnt(d) == cnt(index_dir)
+    qdf = queries_df(
+        spark, list(zip(query_set["query_id"][:10], [list(t) for t in query_set["terms"][:10]]))
+    )
+    ga = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in bm25_topk_indexed(spark, index_dir, qdf, k=10).collect()
+    )
+    gb = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in bm25_topk_indexed(spark, d, qdf, k=10).collect()
+    )
+    assert ga == gb
