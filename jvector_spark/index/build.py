@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from .. import BLOCK_SIZE, BM25_B, BM25_K1
 from ..functions.analysis import TOKEN_PATTERN
+from ..operators.doc_ids import assign_dense_ids
 from ..operators.text_stats import dictionary as build_dictionary
 from ..operators.text_stats import doc_stats, term_freq
 from .codec import varint_encode
@@ -168,6 +169,60 @@ def _empty_postings_pdf(carry_part_id: bool = False) -> pd.DataFrame:
     if carry_part_id:
         cols = {"part_id": pd.Series(dtype="int32"), **cols}
     return pd.DataFrame(cols)
+
+
+def aggregate_occurrences_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(part_id, term_id, salt, doc_id, dl) occurrence rows → tf rows, all
+    numpy (lexsort + run-length reduce). Lets the build shuffle RAW
+    occurrences once instead of paying a separate tf-groupBy exchange —
+    the aggregation happens on the reduce side of the one shuffle, exactly
+    where the data already sits."""
+    term = pdf["term_id"].to_numpy(np.int64)
+    salt = pdf["salt"].to_numpy(np.int32)
+    doc = pdf["doc_id"].to_numpy(np.int64)
+    dl = pdf["dl"].to_numpy(np.int64)
+    part = pdf["part_id"].to_numpy(np.int32)
+    order = np.lexsort((doc, salt, term))
+    term, salt, doc, dl, part = (
+        term[order], salt[order], doc[order], dl[order], part[order]
+    )
+    n = len(term)
+    start = np.ones(n, dtype=bool)
+    start[1:] = (
+        (term[1:] != term[:-1]) | (salt[1:] != salt[:-1]) | (doc[1:] != doc[:-1])
+    )
+    starts = np.flatnonzero(start)
+    counts = np.diff(np.append(starts, n))
+    return pd.DataFrame(
+        {
+            "part_id": part[starts],
+            "term_id": term[starts],
+            "salt": salt[starts],
+            "doc_id": doc[starts],
+            "tf": counts.astype(np.int64),
+            "dl": dl[starts],
+        }
+    )
+
+
+def _encode_occ_map_fn(block_size: int):
+    """mapInPandas fn: occurrence rows → in-worker tf aggregation → fused
+    posting blocks (single-shuffle build path)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = [p for p in it]
+        if not batches:
+            yield _empty_postings_pdf(carry_part_id=True)
+            return
+        occ = pd.concat(batches, ignore_index=True)
+        if len(occ) == 0:
+            yield _empty_postings_pdf(carry_part_id=True)
+            return
+        yield encode_partition_pdf(
+            aggregate_occurrences_pdf(occ), block_size, carry_part_id=True
+        )
+
+    return fn
 
 
 def _encode_map_fn(block_size: int, carry_part_id: bool = False):
@@ -390,14 +445,29 @@ def _build_index_single_shot(
     """Fast path: 3-4 Spark jobs total, no staging round-trip.
 
     Jobs: (1) doc_stats write with n_docs/avgdl observed on the same pass,
-    (2) dictionary write, (3) optional doc_map write, (4) enriched tf →
-    repartition(part_id, term_id, salt) → vectorized encode → postings
-    write (metrics observed in-flight). The output layout is byte-for-byte
-    the same scheme as the checkpointed path (verified by tests)."""
+    (2) term-level pre-dictionary (term_id + cf + salt plan) off a
+    map-combined aggregate, (3) optional doc_map write, (4) THE shuffle:
+    raw (term_id, salt, doc_id, dl) occurrences repartitioned by
+    (part_id, term_id, salt), tf aggregated IN the vectorized encoder,
+    blocks written (metrics observed in-flight), (5) dictionary finalized
+    with exact df summed from the blocks' meta columns (column-pruned
+    scan, never touches the packed payloads).
+
+    Single-shuffle design: a separate tf-groupBy exchange would move the
+    same ~N_postings rows once more; aggregating on the reduce side of the
+    one term-partitioned shuffle halves corpus-sized shuffle volume — the
+    difference between one and two full passes over 100 TB. ``n_salts``
+    derives from cf (≥ df), so hot terms split at least as much as the
+    df-based checkpointed path — slight over-salting is harmless (blocks
+    stay doc-range-disjoint), under-salting would not be.
+
+    The output layout is scheme-identical to the checkpointed path
+    (equivalence is tested)."""
     spark = corpus.sparkSession
+    from ..functions.analysis import tokens_col
+
     corpus = corpus.persist()
 
-    tf = term_freq(corpus, text_col, id_col)
     dstats = doc_stats(corpus, text_col, id_col)
     obs_stats = Observation("corpus_stats")
     dstats = dstats.observe(
@@ -407,25 +477,37 @@ def _build_index_single_shot(
     st = obs_stats.get
     n_docs, avgdl = int(st["n"]), float(st["avgdl"])
 
-    dct = build_dictionary(tf, id_col=id_col).withColumn(
-        "n_salts",
-        F.when(
-            F.col("df") > salt_threshold,
-            F.ceil(F.col("df") / F.lit(target_salt_postings)).cast("int"),
-        ).otherwise(F.lit(1)),
+    occ = corpus.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    ).select(
+        "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
     )
-    write_table(dct, index_dir, "dictionary")
+
+    # pre-dictionary: term_id (dense, lexicographic) + cf + salt plan; one
+    # aggregated shuffle whose output is vocabulary-, not corpus-, sized
+    dct_pre = (
+        occ.groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+        .withColumn(
+            "n_salts",
+            F.when(
+                F.col("cf") > salt_threshold,
+                F.ceil(F.col("cf") / F.lit(target_salt_postings)).cast("int"),
+            ).otherwise(F.lit(1)),
+        )
+    )
+    dct_pre = assign_dense_ids(dct_pre, ["term"], id_col="term_id")
+    write_table(dct_pre, index_dir, "dictionary_pre")
     if doc_map_cols:
         write_table(corpus.select(id_col, *doc_map_cols), index_dir, "doc_map")
 
-    dct_r = read_table(spark, index_dir, "dictionary")
+    dct_r = read_table(spark, index_dir, "dictionary_pre")
     enriched = (
-        tf.join(dct_r.select("term", "term_id", "n_salts"), "term")
-        .join(dstats.select(id_col, "dl"), id_col)
+        occ.join(F.broadcast(dct_r.select("term", "term_id", "n_salts")), "term")
         .withColumn(
             "salt",
             F.least(
-                (F.col(id_col) * F.col("n_salts") / F.lit(n_docs)).cast("int"),
+                (F.col("doc_id") * F.col("n_salts") / F.lit(n_docs)).cast("int"),
                 F.col("n_salts") - 1,
             ).cast("int"),
         )
@@ -433,15 +515,13 @@ def _build_index_single_shot(
             "part_id",
             F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_parts)).cast("int"),
         )
-        .select(
-            "part_id", "term_id", "salt", F.col(id_col).alias("doc_id"), "tf", "dl"
-        )
+        .select("part_id", "term_id", "salt", "doc_id", "dl")
     )
     obs = Observation("build_metrics")
     blocks = (
         enriched.repartition("part_id", "term_id", "salt")
         .mapInPandas(
-            _encode_map_fn(block_size, carry_part_id=True),
+            _encode_occ_map_fn(block_size),
             schema="part_id int, " + POSTINGS_SCHEMA,
         )
         .observe(
@@ -458,6 +538,20 @@ def _build_index_single_shot(
         table_path(index_dir, "postings")
     )
     m = obs.get
+
+    # finalize dictionary: exact df from block meta (column-pruned scan)
+    dfreq = (
+        read_table(spark, index_dir, "postings")
+        .groupBy("term_id")
+        .agg(F.sum("n").cast("long").alias("df"))
+    )
+    dct_final = dct_r.join(dfreq, "term_id").select(
+        "term", "term_id", "df", "cf", "n_salts"
+    )
+    write_table(dct_final, index_dir, "dictionary")
+    import shutil as _shutil
+
+    _shutil.rmtree(table_path(index_dir, "dictionary_pre"), ignore_errors=True)
 
     # lineage: one job-level row (part_id = -1 marks "all parts, one commit")
     spark.createDataFrame(

@@ -39,7 +39,7 @@ from .storage import (
     write_table,
 )
 
-__all__ = ["delete_docs", "tombstone_ids", "compact_index"]
+__all__ = ["delete_docs", "tombstone_ids", "compact_index", "set_bm25_params"]
 
 TOMBSTONES = "tombstones"
 
@@ -155,3 +155,28 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         "postings_live": postings_live,
         "n_docs": int(total[0]),
     }
+
+
+def set_bm25_params(spark: SparkSession, index_dir: str, k1: float, b: float) -> dict:
+    """Re-parameterize scoring without touching a single posting block —
+    the format-v2 payoff of deriving block bounds at query time from
+    (max_tf, min_dl) + current segment stats. Reference analog:
+    ``GraphIndexBuilder.rescore`` rebuilds every edge score under a new
+    score provider (GraphIndexBuilder.java:394-437, B9); here the same
+    capability is one metadata row rewrite, because nothing baked the old
+    (k1, b) into the index. Every query after this must equal a brute-force
+    BM25 with the new parameters exactly (tested)."""
+    seg = read_segments(spark, index_dir)
+    seg_row = spark.createDataFrame(
+        [
+            (
+                int(seg["format_version"]), int(seg["n_docs"]), float(seg["avgdl"]),
+                float(k1), float(b), int(seg["block_size"]),
+                seg["token_pattern"], int(seg["n_parts"]),
+            )
+        ],
+        "format_version int, n_docs long, avgdl double, k1 double, b double, "
+        "block_size int, token_pattern string, n_parts int",
+    )
+    write_table(seg_row, index_dir, "segments")
+    return {"k1": float(k1), "b": float(b)}

@@ -161,7 +161,8 @@ def _mask_tombstones(spark: SparkSession, index_dir: str, decoded: DataFrame) ->
 # ---------------------------------------------------------------------------
 
 def bm25_topk_indexed_unpruned(
-    spark: SparkSession, index_dir: str, qterms: DataFrame, k: int = 10
+    spark: SparkSession, index_dir: str, qterms: DataFrame, k: int = 10,
+    offset: int = 0,
 ) -> DataFrame:
     """Decode matched blocks → JVM-side scoring → window top-k."""
     seg = read_segments(spark, index_dir)
@@ -190,7 +191,7 @@ def bm25_topk_indexed_unpruned(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k))
         .select("query_id", "rank", "doc_id", "score")
     )
 
@@ -317,16 +318,21 @@ def _wand_group_fn(
     k: int, k1: float, b: float, avgdl: float, with_metrics: bool,
     dead: np.ndarray | None = None,
     accept: np.ndarray | None = None,
+    offset: int = 0,
 ):
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(key[0])
+        # pagination (Q9 resume analog): compute top-(offset+k) exactly,
+        # emit ranks (offset, offset+k] — a batch engine re-derives the
+        # skipped prefix instead of holding cursor state
         docs, scores, dec, skip = wand_topk_arrays(
-            pdf, k, k1, b, avgdl, dead, accept
+            pdf, offset + k, k1, b, avgdl, dead, accept
         )
+        docs, scores = docs[offset:], scores[offset:]
         out = pd.DataFrame(
             {
                 "query_id": np.full(len(docs), qid, dtype=np.int32),
-                "rank": np.arange(1, len(docs) + 1, dtype=np.int32),
+                "rank": np.arange(offset + 1, offset + len(docs) + 1, dtype=np.int32),
                 "doc_id": docs,
                 "score": scores,
             }
@@ -346,13 +352,16 @@ def bm25_topk_indexed(
     k: int = 10,
     prune: bool = True,
     with_metrics: bool = False,
+    offset: int = 0,
 ) -> DataFrame:
     """BM25 top-k over the index. ``prune=False`` is the relational exact
     path; ``prune=True`` runs Block-Max WAND (results must be identical —
     the ``usePruning`` escape hatch mirrors Bench.java:56). Tombstoned
-    docs (index/maintenance.delete_docs) are masked on both paths."""
+    docs (index/maintenance.delete_docs) are masked on both paths.
+    ``offset`` pages past the first ``offset`` results (Q9 resume analog,
+    GraphSearcher.java:489-527)."""
     if not prune:
-        return bm25_topk_indexed_unpruned(spark, index_dir, qterms, k)
+        return bm25_topk_indexed_unpruned(spark, index_dir, qterms, k, offset)
     seg = read_segments(spark, index_dir)
     dead_set = tombstone_ids(spark, index_dir)
     dead = (
@@ -369,7 +378,10 @@ def bm25_topk_indexed(
         )
         .groupBy("query_id")
         .applyInPandas(
-            _wand_group_fn(k, seg["k1"], seg["b"], seg["avgdl"], with_metrics, dead),
+            _wand_group_fn(
+                k, seg["k1"], seg["b"], seg["avgdl"], with_metrics, dead,
+                offset=offset,
+            ),
             schema=schema,
         )
     )

@@ -12,11 +12,36 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _topk_rows(df):
+def _rows(df):
     return [
-        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
-        for r in df.orderBy("query_id", "rank").collect()
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6)) for r in df.collect()
     ]
+
+
+def assert_topk_match(got_df, want_df):
+    """Tie-robust top-k equality: (query, rank, score) sequences must match
+    exactly; doc_ids must match wherever the rounded score is unique across
+    BOTH sides of the query. Docs with equal true scores are
+    interchangeable at the cutoff — which member a float-summed engine
+    emits depends on partition-dependent addition order (1-ulp noise), not
+    on correctness; the deterministic tie-break only binds when scores are
+    bit-identical, which cross-engine float sums cannot guarantee."""
+    got, want = _rows(got_df), _rows(want_df)
+    from collections import Counter
+
+    cnt = Counter((q, s) for q, _rk, _d, s in got + want)
+
+    def canon(rows):
+        return sorted(
+            (q, rk, s, (d if cnt[(q, s)] == 1 else None)) for q, rk, d, s in rows
+        )
+
+    assert canon(got) == canon(want)
+
+
+def _topk_rows(df):
+    # kept for simple one-sided uses
+    return _rows(df)
 
 
 @pytest.fixture(scope="module")
@@ -68,11 +93,11 @@ def test_extend_matches_full_rebuild_bruteforce(spark, corpus, split_corpus, qte
         ).withColumn("doc_id", F.col("doc_id") + F.lit(2000))
         union = base.unionByName(extra_ids.select(*base.columns))
         want = bm25_topk_bruteforce(union, qterms, k=10)
-        assert _topk_rows(got) == _topk_rows(want)
+        assert_topk_match(got, want)
 
         # unpruned path agrees too
         got2 = bm25_topk_indexed(spark, d, qterms, k=10, prune=False)
-        assert _topk_rows(got2) == _topk_rows(want)
+        assert_topk_match(got2, want)
 
         # per-turn text equality invariant survives the extension
         from jvector_spark.index.storage import read_table
@@ -145,9 +170,9 @@ def test_delete_masks_results_and_compact_rewrites(spark, corpus, qterms):
             bm25_score_all(small, qterms).join(dead_df, "doc_id", "left_anti"), k=10
         )
         got = bm25_topk_indexed(spark, d, qterms, k=10, prune=True)
-        assert _topk_rows(got) == _topk_rows(want)
+        assert_topk_match(got, want)
         got_unpruned = bm25_topk_indexed(spark, d, qterms, k=10, prune=False)
-        assert _topk_rows(got_unpruned) == _topk_rows(want)
+        assert_topk_match(got_unpruned, want)
 
         # compaction: physically removes them; same answers, no tombstones
         m = compact_index(spark, d)
@@ -158,10 +183,84 @@ def test_delete_masks_results_and_compact_rewrites(spark, corpus, qterms):
         got3 = bm25_topk_indexed(spark, d, qterms, k=10, prune=True)
         # n_docs/avgdl changed after physical removal — recompute oracle
         want3 = bm25_topk_bruteforce(live, qterms, k=10)
-        assert _topk_rows(got3) == _topk_rows(want3)
+        assert_topk_match(got3, want3)
 
         # deleting everything leaves empty results
         delete_docs(spark, d, {int(r.doc_id) for r in live.select("doc_id").collect()})
         assert bm25_topk_indexed(spark, d, qterms, k=10).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_set_bm25_params_rescores_without_rewrite(spark, corpus, tmp_path, query_set):
+    """B9 rescore analog: change (k1, b) via one metadata write; queries
+    must equal brute force under the NEW parameters, and no posting file
+    may change (bounds are derived, never baked)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jvector_spark.index.build import build_index
+    from jvector_spark.index.maintenance import set_bm25_params
+    from jvector_spark.index.query import bm25_topk_indexed
+    from jvector_spark.index.storage import table_path
+    from jvector_spark.operators.topk import bm25_topk_bruteforce, queries_df
+
+    d = str(tmp_path / "rescore_idx")
+    build_index(corpus, d, n_parts=2, checkpointed=False)
+    post_dir = table_path(d, "postings")
+    before = {
+        (r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(post_dir)
+        for f in fs
+    }
+    set_bm25_params(spark, d, k1=0.9, b=0.4)
+    after = {
+        (r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(post_dir)
+        for f in fs
+    }
+    assert before == after, "rescore must not touch posting files"
+
+    qdf = queries_df(
+        spark,
+        list(zip(query_set["query_id"][:8], [list(t) for t in query_set["terms"][:8]])),
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in bm25_topk_bruteforce(corpus, qdf, k=10, k1=0.9, b=0.4).collect()
+    )
+    for prune in (True, False):
+        got = sorted(
+            (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in bm25_topk_indexed(spark, d, qdf, k=10, prune=prune).collect()
+        )
+        assert got == want, f"prune={prune}"
+
+
+def test_pagination_matches_full_topk(spark, corpus, tmp_path, query_set):
+    """Q9 resume analog: page 2 (offset=10, k=10) must equal ranks 11-20 of
+    a single top-20 query, on both physical paths."""
+    from jvector_spark.index.build import build_index
+    from jvector_spark.index.query import bm25_topk_indexed
+    from jvector_spark.operators.topk import queries_df
+
+    d = str(tmp_path / "page_idx")
+    build_index(corpus, d, n_parts=2, checkpointed=False)
+    qdf = queries_df(
+        spark,
+        list(zip(query_set["query_id"][:6], [list(t) for t in query_set["terms"][:6]])),
+    )
+    full = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in bm25_topk_indexed(spark, d, qdf, k=20).collect()
+        if r.rank > 10
+    )
+    for prune in (True, False):
+        page2 = sorted(
+            (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in bm25_topk_indexed(
+                spark, d, qdf, k=10, prune=prune, offset=10
+            ).collect()
+        )
+        assert page2 == full, f"prune={prune}"
