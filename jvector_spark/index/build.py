@@ -464,11 +464,34 @@ def _build_index_single_shot(
     The output layout is scheme-identical to the checkpointed path
     (equivalence is tested)."""
     spark = corpus.sparkSession
+    from pyspark import StorageLevel
+
     from ..functions.analysis import tokens_col
 
     corpus = corpus.persist()
 
-    dstats = doc_stats(corpus, text_col, id_col)
+    # tokenize EXACTLY once: the occurrence relation feeds doc_stats, the
+    # dictionary, and the encode shuffle from this one materialization
+    # (string work is the bandwidth-heavy part of the whole build; at
+    # cluster scale MEMORY_AND_DISK spills gracefully instead of OOMing)
+    occ = (
+        corpus.select(
+            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+        )
+        .select(
+            "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # doc_stats: dl rides on every occurrence; empty docs come back via the
+    # left join against the (column-pruned) id scan
+    dl_rel = occ.groupBy("doc_id").agg(F.first("dl").cast("long").alias("dl"))
+    dstats = (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(dl_rel, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
+    )
     obs_stats = Observation("corpus_stats")
     dstats = dstats.observe(
         obs_stats, F.count("*").alias("n"), F.avg("dl").alias("avgdl")
@@ -476,12 +499,6 @@ def _build_index_single_shot(
     write_table(dstats, index_dir, "doc_stats")
     st = obs_stats.get
     n_docs, avgdl = int(st["n"]), float(st["avgdl"])
-
-    occ = corpus.select(
-        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
-    ).select(
-        "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
-    )
 
     # pre-dictionary: term_id (dense, lexicographic) + cf + salt plan; one
     # aggregated shuffle whose output is vocabulary-, not corpus-, sized
@@ -496,14 +513,12 @@ def _build_index_single_shot(
             ).otherwise(F.lit(1)),
         )
     )
-    dct_pre = assign_dense_ids(dct_pre, ["term"], id_col="term_id")
-    write_table(dct_pre, index_dir, "dictionary_pre")
+    dct_pre = assign_dense_ids(dct_pre, ["term"], id_col="term_id").persist()
     if doc_map_cols:
         write_table(corpus.select(id_col, *doc_map_cols), index_dir, "doc_map")
 
-    dct_r = read_table(spark, index_dir, "dictionary_pre")
     enriched = (
-        occ.join(F.broadcast(dct_r.select("term", "term_id", "n_salts")), "term")
+        occ.join(F.broadcast(dct_pre.select("term", "term_id", "n_salts")), "term")
         .withColumn(
             "salt",
             F.least(
@@ -545,13 +560,12 @@ def _build_index_single_shot(
         .groupBy("term_id")
         .agg(F.sum("n").cast("long").alias("df"))
     )
-    dct_final = dct_r.join(dfreq, "term_id").select(
+    dct_final = dct_pre.join(dfreq, "term_id").select(
         "term", "term_id", "df", "cf", "n_salts"
     )
     write_table(dct_final, index_dir, "dictionary")
-    import shutil as _shutil
-
-    _shutil.rmtree(table_path(index_dir, "dictionary_pre"), ignore_errors=True)
+    dct_pre.unpersist()
+    occ.unpersist()
 
     # lineage: one job-level row (part_id = -1 marks "all parts, one commit")
     spark.createDataFrame(
