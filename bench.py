@@ -207,6 +207,24 @@ def transcripts_job(spark, src_parquet: str, workdir: str, warmup: bool = True) 
     n_res = bm25_topk_indexed(spark, idx_dir, qterms, k=10, prune=True).count()
     t_query = time.perf_counter() - t0
 
+    # per-query search-cost counters on a 100-query sample (SearchResult
+    # visited/expanded analog) — the Zipf corpus's salted hot terms give
+    # block-max pruning real skip opportunities here
+    prune_row = (
+        bm25_topk_indexed(
+            spark, idx_dir, qterms.filter(F.col("query_id") < 100),
+            k=10, prune=True, with_metrics=True,
+        )
+        .groupBy("query_id")
+        .agg(
+            F.first("blocks_decoded").alias("d"),
+            F.first("blocks_skipped").alias("s"),
+        )
+        .agg(F.sum("d").alias("dec"), F.sum("s").alias("skip"))
+        .collect()[0]
+    )
+    dec, skip = int(prune_row["dec"] or 0), int(prune_row["skip"] or 0)
+
     return {
         "turns": int(n_turns),
         "build_sec": round(t_build, 3),
@@ -214,6 +232,9 @@ def transcripts_job(spark, src_parquet: str, workdir: str, warmup: bool = True) 
         "query_sec": round(t_query, 3),
         "qps": round(N_QUERIES / t_query, 2),
         "result_rows": int(n_res),
+        "wand_blocks_decoded": dec,
+        "wand_blocks_skipped": skip,
+        "wand_skip_ratio": round(skip / max(dec + skip, 1), 3),
     }
 
 

@@ -200,6 +200,14 @@ def bm25_topk_indexed_unpruned(
 # pruned (Block-Max WAND) path
 # ---------------------------------------------------------------------------
 
+# terms with at most this many postings in a query's working set are
+# decoded exactly upfront instead of bounded: a sparse term's single block
+# spans nearly the whole doc space, so leaving it bounded adds its full
+# upper bound to EVERY segment and strangles pruning. Decoding it costs
+# microseconds; pruning then has to beat only the dense terms' bounds.
+SPARSE_EXACT_LIMIT = 2048
+
+
 def wand_topk_arrays(
     pdf: pd.DataFrame,
     k: int,
@@ -208,24 +216,34 @@ def wand_topk_arrays(
     avgdl: float,
     dead: np.ndarray | None = None,
     accept: np.ndarray | None = None,
+    sparse_limit: int = SPARSE_EXACT_LIMIT,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
-    """Pure numpy Block-Max top-k for one query's posting blocks.
+    """Pure numpy Block-Max top-k for one query's posting blocks — the
+    two-phase scorer (approx bound + exact, GraphSearcher.java:451-487)
+    with a two-tier term split:
 
-    Strategy: posting-block doc-ranges [base, max_doc_id] induce a
-    piecewise-constant upper-bound function over doc space. The per-block
-    bound is DERIVED here from the stored (max_tf, min_dl) and the current
-    global stats — exact for fresh indexes, still a valid (monotone: BM25
-    increases in tf, decreases in dl) upper bound after incremental
-    extends change n_docs/avgdl. Sweep the segments in descending
-    upper-bound order, decode only the blocks overlapping segments that can
-    still beat the current k-th score θ (skip iff UB < θ — ties must be
-    processed so the smaller-doc_id winner is found, mirroring
-    NodeQueue.java:104-129). Segments partition doc space, so per-segment
-    exact scores are complete and the result equals the unpruned path
-    exactly. ``dead`` (sorted tombstoned doc_ids) are masked before
-    scoring so deleted docs neither fill nor shadow result slots;
-    ``accept`` (sorted doc_ids) restricts the result universe — the
-    Bits-acceptOrds predicate filter of GraphSearcher.java:202-205 (Q8).
+    - **Sparse terms** (≤ ``sparse_limit`` postings in this query's working
+      set) are decoded EXACTLY upfront — microseconds of work. A sparse
+      term's one block spans nearly the whole doc space; bounding it would
+      add its full upper bound to every segment and strangle pruning (this
+      is the rerank-tier analog: exact scores where exactness is cheap).
+    - **Dense terms**' block doc-ranges [base, max_doc_id] induce a
+      piecewise-constant upper-bound function over doc space; each
+      segment's bound = dense UB sum + the max exact sparse contribution
+      inside the segment. Bounds are DERIVED from stored (max_tf, min_dl)
+      and current global stats — still valid (BM25 monotone in tf, anti-
+      monotone in dl) after incremental extends change n_docs/avgdl.
+
+    Sweep segments in descending bound order; decode only blocks
+    overlapping segments that can still beat the current k-th score θ
+    (skip iff UB < θ — ties must be processed so the smaller-doc_id winner
+    is found, mirroring NodeQueue.java:104-129). Segments partition doc
+    space and sparse-only docs outside dense coverage enter the heap with
+    complete scores, so the result equals the unpruned path exactly.
+    ``dead`` (sorted tombstoned doc_ids) are masked before scoring so
+    deleted docs neither fill nor shadow result slots; ``accept`` (sorted
+    doc_ids) restricts the result universe — the Bits-acceptOrds predicate
+    filter of GraphSearcher.java:202-205 (Q8).
     Returns (doc_ids, scores, blocks_decoded, blocks_skipped).
     """
     nb = len(pdf)
@@ -234,6 +252,7 @@ def wand_topk_arrays(
     idf = pdf["idf"].to_numpy(np.float64)
     weight = pdf["weight"].to_numpy(np.float64)
     ns = pdf["n"].to_numpy(np.int64)
+    term = pdf["term_id"].to_numpy(np.int64)
     max_tf = pdf["max_tf"].to_numpy(np.float64)
     min_dl = pdf["min_dl"].to_numpy(np.float64)
     ub = (
@@ -241,29 +260,7 @@ def wand_topk_arrays(
         / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
     )
 
-    bounds = np.unique(np.concatenate([lo, hi + 1]))
-    seg_lo = bounds[:-1]
-    seg_hi = bounds[1:]  # exclusive
-    n_seg = len(seg_lo)
-    # UB per segment via diff array
-    delta = np.zeros(n_seg + 1, dtype=np.float64)
-    li = np.searchsorted(seg_lo, lo)
-    ri = np.searchsorted(seg_lo, hi + 1)
-    np.add.at(delta, li, ub)
-    np.add.at(delta, ri, -ub)
-    seg_ub = np.cumsum(delta[:-1])
-    order = np.argsort(-seg_ub, kind="mergesort")
-
-    # block → segment range [li, ri) ; segment → overlapping blocks
-    seg_blocks: list[list[int]] = [[] for _ in range(n_seg)]
-    for bi in range(nb):
-        for s in range(li[bi], ri[bi]):
-            seg_blocks[s].append(bi)
-
     decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    top_docs = np.zeros(0, dtype=np.int64)
-    top_scores = np.zeros(0, dtype=np.float64)
-    theta = -math.inf
 
     def decode(bi: int) -> tuple[np.ndarray, np.ndarray]:
         got = decoded.get(bi)
@@ -287,6 +284,76 @@ def wand_topk_arrays(
         decoded[bi] = (docs, contrib)
         return decoded[bi]
 
+    # --- split terms: sparse → exact upfront, dense → bounded ------------
+    uniq_t, inv_t = np.unique(term, return_inverse=True)
+    term_total = np.bincount(inv_t, weights=ns.astype(np.float64))
+    sparse_blk = term_total[inv_t] <= sparse_limit
+
+    s_parts_d, s_parts_c = [], []
+    for bi in np.flatnonzero(sparse_blk):
+        d_, c_ = decode(int(bi))
+        if len(d_):
+            s_parts_d.append(d_)
+            s_parts_c.append(c_)
+    if s_parts_d:
+        sd_all = np.concatenate(s_parts_d)
+        sc_all = np.concatenate(s_parts_c)
+        usd, inv = np.unique(sd_all, return_inverse=True)
+        usc = np.bincount(inv, weights=sc_all)
+    else:
+        usd = np.zeros(0, dtype=np.int64)
+        usc = np.zeros(0, dtype=np.float64)
+
+    d_idx = np.flatnonzero(~sparse_blk)
+    if len(d_idx) == 0:
+        sel = np.lexsort((usd, -usc))[:k]
+        return usd[sel], usc[sel], len(decoded), 0
+
+    # --- dense segments: piecewise-constant upper bound over doc space ---
+    lo_d, hi_d, ub_d = lo[d_idx], hi[d_idx], ub[d_idx]
+    bounds = np.unique(np.concatenate([lo_d, hi_d + 1]))
+    seg_lo = bounds[:-1]
+    seg_hi = bounds[1:]  # exclusive
+    n_seg = len(seg_lo)
+    delta = np.zeros(n_seg + 1, dtype=np.float64)
+    li = np.searchsorted(seg_lo, lo_d)
+    ri = np.searchsorted(seg_lo, hi_d + 1)
+    np.add.at(delta, li, ub_d)
+    np.add.at(delta, ri, -ub_d)
+    seg_ub = np.cumsum(delta[:-1])
+
+    # sparse side of each segment's bound: the max exact sparse
+    # contribution of any doc in the segment's range (exact, not a bound)
+    if len(usd):
+        sl = np.searchsorted(usd, seg_lo)
+        sr = np.searchsorted(usd, seg_hi)
+        seg_smax = np.zeros(n_seg, dtype=np.float64)
+        nz = np.flatnonzero(sl < sr)
+        if len(nz):
+            usc_ext = np.append(usc, -np.inf)  # sentinel: allows index len
+            ind = np.empty(2 * len(nz), dtype=np.int64)
+            ind[0::2] = sl[nz]
+            ind[1::2] = sr[nz]
+            seg_smax[nz] = np.maximum.reduceat(usc_ext, ind)[0::2]
+        seg_ub = seg_ub + seg_smax
+
+    order = np.argsort(-seg_ub, kind="mergesort")
+    seg_blocks: list[list[int]] = [[] for _ in range(n_seg)]
+    for j, bi in enumerate(d_idx):
+        for s in range(li[j], ri[j]):
+            seg_blocks[s].append(int(bi))
+
+    # sparse-only docs outside dense coverage have complete scores already
+    top_docs = np.zeros(0, dtype=np.int64)
+    top_scores = np.zeros(0, dtype=np.float64)
+    if len(usd):
+        outside = (usd < seg_lo[0]) | (usd >= seg_hi[-1])
+        if outside.any():
+            od, oc = usd[outside], usc[outside]
+            sel = np.lexsort((od, -oc))[:k]
+            top_docs, top_scores = od[sel], oc[sel]
+    theta = top_scores[k - 1] if len(top_scores) >= k else -math.inf
+
     for s in order:
         if len(top_docs) >= k and seg_ub[s] < theta:
             break  # segments sorted by UB desc — nothing later can qualify
@@ -297,13 +364,19 @@ def wand_topk_arrays(
             if m.any():
                 docs_parts.append(docs[m])
                 contrib_parts.append(contrib[m])
+        if len(usd):
+            l0, r0 = np.searchsorted(usd, seg_lo[s]), np.searchsorted(usd, seg_hi[s])
+            if r0 > l0:
+                docs_parts.append(usd[l0:r0])
+                contrib_parts.append(usc[l0:r0])
         if not docs_parts:
             continue
         d = np.concatenate(docs_parts)
         c = np.concatenate(contrib_parts)
         ud, inv = np.unique(d, return_inverse=True)
         sc = np.bincount(inv, weights=c)
-        # merge into running top-k (docs across segments are disjoint)
+        # merge into running top-k (docs across segments are disjoint, and
+        # outside-docs never fall inside a segment)
         top_docs = np.concatenate([top_docs, ud])
         top_scores = np.concatenate([top_scores, sc])
         sel = np.lexsort((top_docs, -top_scores))[:k]
@@ -373,7 +446,7 @@ def bm25_topk_indexed(
         schema += ", blocks_decoded int, blocks_skipped int"
     return (
         blocks.select(
-            "query_id", "weight", "idf", "n", "base", "max_doc_id",
+            "query_id", "term_id", "weight", "idf", "n", "base", "max_doc_id",
             "max_tf", "min_dl", "doc_ids_packed", "tfs_packed", "dls_packed",
         )
         .groupBy("query_id")
@@ -462,7 +535,7 @@ def bm25_topk_indexed_filtered(
         blocks = _prepared_query_blocks(spark, index_dir, qterms, seg)
         return (
             blocks.select(
-                "query_id", "weight", "idf", "n", "base", "max_doc_id",
+                "query_id", "term_id", "weight", "idf", "n", "base", "max_doc_id",
                 "max_tf", "min_dl", "doc_ids_packed", "tfs_packed", "dls_packed",
             )
             .groupBy("query_id")
