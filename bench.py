@@ -39,7 +39,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # big enough that parallel compute, not fixed per-job scheduling latency,
 # dominates the timed region — at 240k turns the builds at every core count
 # tie on overhead and the scaling ratio measures nothing
-SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "480000"))
+SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "720000"))
 # N → 4N parallelism levels for the north-rule scaling criterion. Default
 # 2 → 8, NOT 8 → 32: this sandbox is one VM whose aggregate memory
 # bandwidth saturates near 8-16 busy cores (measured with a numpy
@@ -53,7 +53,7 @@ SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 # enough queries that per-query WAND compute, not job-submission overhead,
 # dominates the timed region (ThroughputBenchmark-style parallel stream)
-N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "600"))
+N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "1000"))
 # repetitions per parallelism level; best run kept. The sandbox host shows
 # episodic multi-minute contention windows (same job, same input, same
 # cores: observed 36s vs 110s build wall with ~0% steal in between), so a
