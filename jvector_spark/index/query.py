@@ -259,45 +259,51 @@ def wand_topk_arrays(
         weight * idf * max_tf
         / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
     )
+    ids_col = pdf["doc_ids_packed"].to_numpy(object)
+    tfs_col = pdf["tfs_packed"].to_numpy(object)
+    dls_col = pdf["dls_packed"].to_numpy(object)
 
-    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    n_decoded = 0
 
-    def decode(bi: int) -> tuple[np.ndarray, np.ndarray]:
-        got = decoded.get(bi)
-        if got is not None:
-            return got
-        n = int(ns[bi])
-        gaps = varint_decode(pdf["doc_ids_packed"].iat[bi], n).astype(np.int64)
-        gaps[0] += lo[bi]
-        docs = np.cumsum(gaps)
-        tf = varint_decode(pdf["tfs_packed"].iat[bi], n).astype(np.float64)
-        dl = varint_decode(pdf["dls_packed"].iat[bi], n).astype(np.float64)
+    def batch_decode(bis: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Decode MANY blocks in three varint calls total (flat buffers) —
+        the bulk-decode analog of the reference's fused SIMD scoring
+        (FusedPQDecoder / jvector_simd.c bulk kernels). Returns flat
+        (docs, contribs) across the given block indices."""
+        nonlocal n_decoded
+        n_decoded += len(bis)
+        counts = ns[bis]
+        total = int(counts.sum())
+        if total == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        gaps = varint_decode(b"".join(ids_col[bis]), total).astype(np.int64)
+        tf = varint_decode(b"".join(tfs_col[bis]), total).astype(np.float64)
+        dl = varint_decode(b"".join(dls_col[bis]), total).astype(np.float64)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        g = np.cumsum(gaps)
+        before = g[starts] - gaps[starts]  # cumsum just before each block
+        docs = g - np.repeat(before, counts) + np.repeat(lo[bis], counts)
+        contrib = (
+            np.repeat(weight[bis] * idf[bis], counts)
+            * tf
+            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        )
         if dead is not None and len(dead):
             alive = ~np.isin(docs, dead, assume_unique=False)
-            docs, tf, dl = docs[alive], tf[alive], dl[alive]
+            docs, contrib = docs[alive], contrib[alive]
         if accept is not None:
             keep = np.isin(docs, accept, assume_unique=False)
-            docs, tf, dl = docs[keep], tf[keep], dl[keep]
-        contrib = (
-            weight[bi] * idf[bi] * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        )
-        decoded[bi] = (docs, contrib)
-        return decoded[bi]
+            docs, contrib = docs[keep], contrib[keep]
+        return docs, contrib
 
-    # --- split terms: sparse → exact upfront, dense → bounded ------------
+    # --- split terms: sparse -> exact upfront, dense -> bounded ----------
     uniq_t, inv_t = np.unique(term, return_inverse=True)
     term_total = np.bincount(inv_t, weights=ns.astype(np.float64))
     sparse_blk = term_total[inv_t] <= sparse_limit
 
-    s_parts_d, s_parts_c = [], []
-    for bi in np.flatnonzero(sparse_blk):
-        d_, c_ = decode(int(bi))
-        if len(d_):
-            s_parts_d.append(d_)
-            s_parts_c.append(c_)
-    if s_parts_d:
-        sd_all = np.concatenate(s_parts_d)
-        sc_all = np.concatenate(s_parts_c)
+    sd_all, sc_all = batch_decode(np.flatnonzero(sparse_blk))
+    if len(sd_all):
         usd, inv = np.unique(sd_all, return_inverse=True)
         usc = np.bincount(inv, weights=sc_all)
     else:
@@ -307,7 +313,7 @@ def wand_topk_arrays(
     d_idx = np.flatnonzero(~sparse_blk)
     if len(d_idx) == 0:
         sel = np.lexsort((usd, -usc))[:k]
-        return usd[sel], usc[sel], len(decoded), 0
+        return usd[sel], usc[sel], n_decoded, 0
 
     # --- dense segments: piecewise-constant upper bound over doc space ---
     lo_d, hi_d, ub_d = lo[d_idx], hi[d_idx], ub[d_idx]
@@ -338,10 +344,21 @@ def wand_topk_arrays(
         seg_ub = seg_ub + seg_smax
 
     order = np.argsort(-seg_ub, kind="mergesort")
-    seg_blocks: list[list[int]] = [[] for _ in range(n_seg)]
-    for j, bi in enumerate(d_idx):
-        for s in range(li[j], ri[j]):
-            seg_blocks[s].append(int(bi))
+    # chunk rank of each segment: position of its chunk in the sweep
+    CHUNK = 32
+    seg_chunk = np.empty(n_seg, dtype=np.int64)
+    seg_chunk[order] = np.arange(n_seg) // CHUNK
+    n_chunks = int(seg_chunk.max()) + 1
+    # a block becomes needed at the FIRST chunk containing any of its
+    # segments; group block indices by that chunk so each block is batch-
+    # decoded exactly once, right when the sweep first touches it
+    seg_chunk_ext = np.append(seg_chunk, np.iinfo(np.int64).max)  # sentinel
+    ind = np.empty(2 * len(d_idx), dtype=np.int64)
+    ind[0::2] = li
+    ind[1::2] = ri
+    blk_first_chunk = np.minimum.reduceat(seg_chunk_ext, ind)[0::2]
+    chunk_order = np.argsort(blk_first_chunk, kind="mergesort")
+    chunk_starts = np.searchsorted(blk_first_chunk[chunk_order], np.arange(n_chunks + 1))
 
     # sparse-only docs outside dense coverage have complete scores already
     top_docs = np.zeros(0, dtype=np.int64)
@@ -352,31 +369,52 @@ def wand_topk_arrays(
             od, oc = usd[outside], usc[outside]
             sel = np.lexsort((od, -oc))[:k]
             top_docs, top_scores = od[sel], oc[sel]
+            usd, usc = usd[~outside], usc[~outside]
     theta = top_scores[k - 1] if len(top_scores) >= k else -math.inf
 
-    for s in order:
-        if len(top_docs) >= k and seg_ub[s] < theta:
-            break  # segments sorted by UB desc — nothing later can qualify
-        docs_parts, contrib_parts = [], []
-        for bi in seg_blocks[s]:
-            docs, contrib = decode(bi)
-            m = (docs >= seg_lo[s]) & (docs < seg_hi[s])
-            if m.any():
-                docs_parts.append(docs[m])
-                contrib_parts.append(contrib[m])
-        if len(usd):
-            l0, r0 = np.searchsorted(usd, seg_lo[s]), np.searchsorted(usd, seg_hi[s])
-            if r0 > l0:
-                docs_parts.append(usd[l0:r0])
-                contrib_parts.append(usc[l0:r0])
-        if not docs_parts:
+    # postings bucketed by chunk rank AT DECODE TIME (each posting sorted
+    # exactly once); the sweep then just drains its chunk's bucket
+    chunk_buckets: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+
+    def bucket_postings(docs: np.ndarray, contrib: np.ndarray) -> None:
+        if not len(docs):
+            return
+        ranks = seg_chunk[np.searchsorted(seg_lo, docs, side="right") - 1]
+        o = np.argsort(ranks, kind="stable")
+        docs, contrib, ranks = docs[o], contrib[o], ranks[o]
+        cut = np.flatnonzero(np.diff(ranks)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(ranks)]))
+        for s, e in zip(starts, ends):
+            chunk_buckets.setdefault(int(ranks[s]), []).append(
+                (docs[s:e], contrib[s:e])
+            )
+
+    if len(usd):
+        bucket_postings(usd, usc)
+
+    # Sweep segments in UB-desc order in CHUNKS: per chunk, newly needed
+    # blocks are bulk-decoded (three varint calls for the whole chunk) and
+    # the chunk's postings drained from its bucket. The pruning rule
+    # applies at chunk granularity — a chunk is skipped only when its best
+    # segment's UB < theta — so results stay exactly equal to the unpruned
+    # path.
+    for ci in range(n_chunks):
+        if len(top_docs) >= k and seg_ub[order[ci * CHUNK]] < theta:
+            break  # order is UB-desc: no later chunk can beat theta
+        s, e = chunk_starts[ci], chunk_starts[ci + 1]
+        if e > s:
+            nd, nc = batch_decode(d_idx[chunk_order[s:e]])
+            bucket_postings(nd, nc)
+        parts = chunk_buckets.pop(ci, None)
+        if not parts:
             continue
-        d = np.concatenate(docs_parts)
-        c = np.concatenate(contrib_parts)
+        d = np.concatenate([p[0] for p in parts])
+        c = np.concatenate([p[1] for p in parts])
         ud, inv = np.unique(d, return_inverse=True)
         sc = np.bincount(inv, weights=c)
-        # merge into running top-k (docs across segments are disjoint, and
-        # outside-docs never fall inside a segment)
+        # merge into running top-k (each segment lives in exactly one
+        # chunk, so no doc is ever double-counted)
         top_docs = np.concatenate([top_docs, ud])
         top_scores = np.concatenate([top_scores, sc])
         sel = np.lexsort((top_docs, -top_scores))[:k]
@@ -384,7 +422,7 @@ def wand_topk_arrays(
         if len(top_docs) >= k:
             theta = top_scores[-1]
 
-    return top_docs, top_scores, len(decoded), nb - len(decoded)
+    return top_docs, top_scores, n_decoded, nb - n_decoded
 
 
 def _wand_group_fn(
@@ -432,10 +470,20 @@ def bm25_topk_indexed(
     the ``usePruning`` escape hatch mirrors Bench.java:56). Tombstoned
     docs (index/maintenance.delete_docs) are masked on both paths.
     ``offset`` pages past the first ``offset`` results (Q9 resume analog,
-    GraphSearcher.java:489-527)."""
+    GraphSearcher.java:489-527). A doc-partitioned index (layout="doc")
+    dispatches to the scatter-gather engine transparently."""
+    seg0 = read_segments(spark, index_dir)
+    if seg0.get("layout") == "doc":
+        if offset or with_metrics:
+            raise ValueError(
+                "offset/with_metrics not supported on doc-partitioned layout"
+            )
+        from .docpart import bm25_topk_docpart
+
+        return bm25_topk_docpart(spark, index_dir, qterms, k, prune)
     if not prune:
         return bm25_topk_indexed_unpruned(spark, index_dir, qterms, k, offset)
-    seg = read_segments(spark, index_dir)
+    seg = seg0
     dead_set = tombstone_ids(spark, index_dir)
     dead = (
         np.sort(np.fromiter(dead_set, dtype=np.int64)) if dead_set else None
