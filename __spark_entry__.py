@@ -95,6 +95,21 @@ def _positions_index_for(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _docpart_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Doc-partitioned twin of the shared index (scatter-gather QPS
+    layout); built once per process per sf_dir."""
+    key = (sf_dir, "dp")
+    got = _MUTIDX_CACHE.get(key)
+    if got and os.path.exists(os.path.join(got, "segments")):
+        return got
+    from jvector_spark.index.docpart import build_doc_partitioned
+
+    d = tempfile.mkdtemp(prefix="jvidx_dp_")
+    build_doc_partitioned(_docs(spark, sf_dir), d, n_buckets=8)
+    _MUTIDX_CACHE[key] = d
+    return d
+
+
 def _deleted_index_for(spark: SparkSession, sf_dir: str) -> str:
     """Fresh index over documents with DELETE_IDS tombstoned (never mutates
     the shared _INDEX_CACHE index)."""
@@ -207,6 +222,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bm25_topk(spark, sf):
         idx = _index_for(spark, sf)
         t = bm25_topk_indexed(spark, idx, _qterms(spark), k=10, prune=True)
+        return t.select("query_id", "rank", "doc_id", _u6(F.col("score")).alias("score_u6"))
+
+    def q_bm25_topk_docpart(spark, sf):
+        # scatter-gather engine over the doc-partitioned layout (Q10 merge
+        # shape) — must hash-match the same oracle as bm25_topk
+        from jvector_spark.index.docpart import bm25_topk_docpart
+
+        idx = _docpart_index_for(spark, sf)
+        t = bm25_topk_docpart(spark, idx, _qterms(spark), k=10, prune=True)
         return t.select("query_id", "rank", "doc_id", _u6(F.col("score")).alias("score_u6"))
 
     def q_bm25_topk_bruteforce(spark, sf):
@@ -457,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary": q_dictionary,
         "bm25_score": q_bm25_score,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_docpart": q_bm25_topk_docpart,
         "bm25_topk_bruteforce": q_bm25_topk_bruteforce,
         "postings_decode": q_postings_decode,
         "boolean_and": q_boolean_and,
@@ -621,6 +646,12 @@ def oracle_sql() -> dict[str, str]:
             f"{_BM25_CTE} SELECT query_id, doc_id, {u6('score')} AS score_u6 FROM scores"
         ),
         "bm25_topk": (
+            f"{_BM25_CTE} SELECT query_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank, "
+            f"doc_id, {u6('score')} AS score_u6 FROM scores "
+            "QUALIFY rank <= 10"
+        ),
+        "bm25_topk_docpart": (
             f"{_BM25_CTE} SELECT query_id, "
             "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank, "
             f"doc_id, {u6('score')} AS score_u6 FROM scores "

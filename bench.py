@@ -53,7 +53,7 @@ SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 # enough queries that per-query WAND compute, not job-submission overhead,
 # dominates the timed region (ThroughputBenchmark-style parallel stream)
-N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "1000"))
+N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "5000"))
 # repetitions per parallelism level; best run kept. The sandbox host shows
 # episodic multi-minute contention windows (same job, same input, same
 # cores: observed 36s vs 110s build wall with ~0% steal in between), so a
@@ -281,6 +281,35 @@ def main() -> None:
     ).parquet(src)
     # headline suite already ran the identical build pipeline in this JVM
     result["throughput"] = transcripts_job(spark, src, workdir, warmup=False)
+
+    # the doc-partitioned (scatter-gather) engine over the same corpus and
+    # query set — the serving-QPS architecture (SURVEY Q10 merge shape)
+    from jvector_spark.fixtures import make_query_set
+    from jvector_spark.index.docpart import bm25_topk_docpart, build_doc_partitioned
+    from jvector_spark.operators.doc_ids import assign_dense_ids
+    from jvector_spark.operators.topk import queries_df
+
+    dp_dir = os.path.join(workdir, "idx_dp")
+    docs = assign_dense_ids(
+        spark.read.parquet(src), ["conv_id", "turn_idx"], "doc_id"
+    )
+    t0 = time.perf_counter()
+    build_doc_partitioned(docs, dp_dir, n_buckets=32)
+    t_build_dp = time.perf_counter() - t0
+    qset = make_query_set(N_QUERIES)
+    qterms = queries_df(
+        spark, [(r.query_id, list(r.terms)) for r in qset.itertuples(index=False)]
+    )
+    t0 = time.perf_counter()
+    n_dp = bm25_topk_docpart(spark, dp_dir, qterms, k=10).count()
+    t_q_dp = time.perf_counter() - t0
+    result["throughput_docpart"] = {
+        "build_sec": round(t_build_dp, 3),
+        "turns_per_sec": round(result["throughput"]["turns"] / t_build_dp, 1),
+        "query_sec": round(t_q_dp, 3),
+        "qps": round(N_QUERIES / t_q_dp, 2),
+        "result_rows": int(n_dp),
+    }
     result["value"] = round(time.perf_counter() - t_all, 3)
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
