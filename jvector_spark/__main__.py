@@ -41,13 +41,21 @@ def cmd_build(args) -> int:
         src = src.withColumnRenamed("doc_id", "src_doc_id")
         order_cols = ["src_doc_id" if c == "doc_id" else c for c in order_cols]
     docs = assign_dense_ids(src, order_cols, "doc_id")
-    m = build_index(
-        docs,
-        args.index,
-        doc_map_cols=order_cols,
-        n_parts=args.n_parts,
-        resume=args.resume,
-    )
+    if args.layout == "doc":
+        from .index.docpart import build_doc_partitioned
+
+        m = build_doc_partitioned(
+            docs, args.index, doc_map_cols=order_cols, n_buckets=args.n_parts
+        )
+    else:
+        m = build_index(
+            docs,
+            args.index,
+            doc_map_cols=order_cols,
+            n_parts=args.n_parts,
+            resume=args.resume,
+            checkpointed=not args.fast,
+        )
     if args.positions:
         from .index.positions import add_positions
 
@@ -121,6 +129,15 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--n-parts", type=int, default=8)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--positions", action="store_true")
+    b.add_argument(
+        "--layout", choices=["term", "doc"], default="term",
+        help="term = salted term-partitioned (lookup-optimal); "
+        "doc = doc-partitioned scatter-gather (QPS-optimal)",
+    )
+    b.add_argument(
+        "--fast", action="store_true",
+        help="single-shot build (no per-part checkpoints)",
+    )
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k against an index")

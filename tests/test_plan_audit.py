@@ -31,7 +31,10 @@ CHEAP_KEYS = [
     "scan_filter", "group_agg", "hash_join", "window_rank", "sort_limit",
     "events_window_agg",
 ]
-INDEXED_KEYS = ["bm25_topk", "postings_decode", "threshold_search", "postings_build"]
+INDEXED_KEYS = [
+    "bm25_topk", "bm25_topk_docpart", "postings_decode", "threshold_search",
+    "postings_build", "filter_topk_indexed", "phrase_count_indexed",
+]
 
 
 @pytest.fixture(scope="module")
