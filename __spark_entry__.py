@@ -237,6 +237,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = bm25_topk_bruteforce(_docs(spark, sf), _qterms(spark), k=10)
         return t.select("query_id", "rank", "doc_id", _u6(F.col("score")).alias("score_u6"))
 
+    def q_tfidf_topk(spark, sf):
+        from jvector_spark.operators.topk import tfidf_topk_bruteforce
+
+        t = tfidf_topk_bruteforce(_docs(spark, sf), _qterms(spark), k=10)
+        return t.select("query_id", "rank", "doc_id", _u6(F.col("score")).alias("score_u6"))
+
     def q_postings_decode(spark, sf):
         idx = _index_for(spark, sf)
         return decode_postings(spark, idx).select("term_id", "doc_id", "tf")
@@ -483,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_docpart": q_bm25_topk_docpart,
         "bm25_topk_bruteforce": q_bm25_topk_bruteforce,
+        "tfidf_topk": q_tfidf_topk,
         "postings_decode": q_postings_decode,
         "boolean_and": q_boolean_and,
         "boolean_or": q_boolean_or,
@@ -662,6 +669,18 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank, "
             f"doc_id, {u6('score')} AS score_u6 FROM scores "
             "QUALIFY rank <= 10"
+        ),
+        "tfidf_topk": (
+            f"WITH {_TOKS}, {_TOK}, {_TF}, {_STATS.replace('FROM dl', 'FROM (SELECT doc_id, len(l)::BIGINT AS dl FROM toks) dl')}, {_QT}, "
+            "qdf AS (SELECT term, count(*)::BIGINT AS df FROM tf "
+            "WHERE term IN (SELECT term FROM qt) GROUP BY term), "
+            "s AS (SELECT qt.query_id, tf.doc_id, "
+            "sum(qt.weight * (1.0 + ln(tf.tf)) * ln(1.0 + stats.n_docs / qdf.df)) AS score "
+            "FROM tf JOIN qt USING (term) JOIN qdf USING (term) CROSS JOIN stats "
+            "GROUP BY qt.query_id, tf.doc_id) "
+            "SELECT query_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank, "
+            f"doc_id, {u6('score')} AS score_u6 FROM s QUALIFY rank <= 10"
         ),
         "postings_decode": (
             f"WITH {_TOKS}, {_TOK}, {_TF}, "

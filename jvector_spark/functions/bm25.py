@@ -51,3 +51,22 @@ def bm25_sql_expr(tf: str, df: str, dl: str, n: str, avgdl: str,
         f"ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5)) * {tf} / "
         f"({tf} + {k1} * (1.0 - {b} + {b} * {dl} / {avgdl}))"
     )
+
+
+def tfidf_term_score_col(
+    tf_col: Column,
+    df_col: Column,
+    n_docs: Column | int,
+) -> Column:
+    """Classic sublinear TF-IDF contribution: (1 + ln tf) * ln(1 + N/df).
+    The engine's second similarity function — the analog of jvector
+    shipping EUCLIDEAN / DOT_PRODUCT / COSINE side by side
+    (VectorSimilarityFunction.java:34-79): same posting data, different
+    scoring kernel."""
+    n = (
+        F.lit(n_docs).cast("double")
+        if isinstance(n_docs, (int, float))
+        else n_docs.cast("double")
+    )
+    tf = tf_col.cast("double")
+    return (F.lit(1.0) + F.log(tf)) * F.log(F.lit(1.0) + n / df_col.cast("double"))

@@ -120,3 +120,38 @@ def bm25_topk_bruteforce(
         k=k,
         id_col=id_col,
     )
+
+
+def tfidf_topk_bruteforce(
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact top-k under sublinear TF-IDF — the engine's second scoring
+    function over the same posting data (Q11 analog: multiple similarity
+    kernels)."""
+    from ..functions.bm25 import tfidf_term_score_col
+
+    tf = term_freq(corpus, text_col, id_col)
+    dstats = doc_stats(corpus, text_col, id_col)
+    n_avg = with_corpus_stats(dstats)
+    tf_q = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfreq = tf_q.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf_q.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(n_avg)
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.col("weight")
+                * tfidf_term_score_col(F.col("tf"), F.col("df"), F.col("n_docs"))
+            ).alias("contrib"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("contrib").cast("double").alias("score"))
+    )
+    return topk(scored, k=k, id_col=id_col)
