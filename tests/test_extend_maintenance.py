@@ -264,3 +264,25 @@ def test_pagination_matches_full_topk(spark, corpus, tmp_path, query_set):
             ).collect()
         )
         assert page2 == full, f"prune={prune}"
+
+
+def test_verify_index_detects_loss(spark, corpus, tmp_path):
+    """M3 checksum analog: totals reconcile after a clean build; losing a
+    postings file is detected."""
+    import glob
+    import os
+
+    from jvector_spark.index.build import build_index
+    from jvector_spark.index.maintenance import verify_index
+
+    d = str(tmp_path / "vidx")
+    build_index(corpus.limit(800), d, n_parts=2, checkpointed=False)
+    r = verify_index(spark, d)
+    assert r["ok"], r
+    fold_before = r["content_fold"]
+
+    victims = glob.glob(os.path.join(d, "postings", "part_id=*", "*.parquet"))
+    os.remove(victims[0])
+    r2 = verify_index(spark, d)
+    assert not r2["ok"]
+    assert r2["content_fold"] != fold_before
