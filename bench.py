@@ -63,16 +63,21 @@ SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
 
 HEADLINE = [
     "bm25_topk",
+    "bm25_topk_docpart",
     "bm25_topk_bruteforce",
+    "tfidf_topk",
     "threshold_search",
     "boolean_and",
     "filter_topk",
+    "filter_topk_indexed",
     "phrase_count",
+    "phrase_count_indexed",
     "exact_dedup",
     "minhash_near_dups",
     "simhash",
     "quality_score",
     "ann_topk",
+    "ann_topk_ivf",
     "group_agg",
     "hash_join",
     "window_rank",

@@ -65,20 +65,14 @@ def test_indexed_topk_equals_bruteforce(spark, corpus, index_dir, query_set):
     qdf = queries_df(
         spark, list(zip(query_set["query_id"], [list(t) for t in query_set["terms"]]))
     )
-    want = {
-        (r.query_id, r.rank): (r.doc_id, r.score)
-        for r in bm25_topk_bruteforce(corpus, qdf, k=10).collect()
-    }
+    # cross-engine comparison → tie-robust (duplicate fixture texts give
+    # bit-equal true scores whose order depends on float summation order)
+    from tests.test_extend_maintenance import assert_topk_match
+
+    want = bm25_topk_bruteforce(corpus, qdf, k=10)
     for prune in (False, True):
-        got = {
-            (r.query_id, r.rank): (r.doc_id, r.score)
-            for r in bm25_topk_indexed(spark, index_dir, qdf, k=10, prune=prune).collect()
-        }
-        assert set(got) == set(want), f"prune={prune}: key sets differ"
-        for key, (doc, score) in want.items():
-            gd, gs = got[key]
-            assert gd == doc, (prune, key, gd, doc)
-            assert abs(gs - score) < 1e-9, (prune, key, gs, score)
+        got = bm25_topk_indexed(spark, index_dir, qdf, k=10, prune=prune)
+        assert_topk_match(got, want)
 
 
 def test_wand_prunes_blocks(spark, index_dir, query_set):
