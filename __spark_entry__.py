@@ -253,6 +253,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_boolean_or(spark, sf):
         return boolean_or(_docs(spark, sf), BOOL_TERMS)
 
+    def q_boolean_and_indexed(spark, sf):
+        from jvector_spark.operators.boolean import boolean_and_indexed
+
+        return boolean_and_indexed(spark, _index_for(spark, sf), BOOL_TERMS)
+
+    def q_boolean_or_indexed(spark, sf):
+        from jvector_spark.operators.boolean import boolean_or_indexed
+
+        return boolean_or_indexed(spark, _index_for(spark, sf), BOOL_TERMS)
+
     def q_filter_topk(spark, sf):
         docs = _docs(spark, sf)
         s = bm25_score_all(docs, _qterms(spark))
@@ -493,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_decode": q_postings_decode,
         "boolean_and": q_boolean_and,
         "boolean_or": q_boolean_or,
+        "boolean_and_indexed": q_boolean_and_indexed,
+        "boolean_or_indexed": q_boolean_or_indexed,
         "filter_topk": q_filter_topk,
         "filter_topk_indexed": q_filter_topk_indexed,
         "threshold_search": q_threshold_search,
@@ -694,6 +706,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY doc_id HAVING count(DISTINCT term) = 2"
         ),
         "boolean_or": (
+            f"WITH {_TOKS}, {_TOK} SELECT DISTINCT doc_id FROM tok "
+            f"WHERE term IN ('{BOOL_TERMS[0]}','{BOOL_TERMS[1]}')"
+        ),
+        "boolean_and_indexed": (
+            f"WITH {_TOKS}, {_TOK} SELECT doc_id FROM tok "
+            f"WHERE term IN ('{BOOL_TERMS[0]}','{BOOL_TERMS[1]}') "
+            "GROUP BY doc_id HAVING count(DISTINCT term) = 2"
+        ),
+        "boolean_or_indexed": (
             f"WITH {_TOKS}, {_TOK} SELECT DISTINCT doc_id FROM tok "
             f"WHERE term IN ('{BOOL_TERMS[0]}','{BOOL_TERMS[1]}')"
         ),
