@@ -98,3 +98,36 @@ def decode_block(
     gaps = varint_decode(doc_ids_packed, n).astype(np.int64)
     gaps[0] += base
     return np.cumsum(gaps), varint_decode(tfs_packed, n).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# binary packing (PFor-family) — evaluated alternative to LEB128
+# ---------------------------------------------------------------------------
+
+def bitpack_encode(values: np.ndarray) -> tuple[bytes, int]:
+    """Frame-of-reference binary packing: every value stored at the block's
+    max bitwidth (NewPFD without exceptions — our gap distributions are
+    tight enough that exception patching buys nothing; see docs/SCALE.md).
+    Returns (payload, width). Vectorized: a (n × width) bit matrix packed
+    little-bit-first."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", 0
+    mx = int(v.max())
+    width = max(1, mx.bit_length())
+    bits = ((v[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.uint8
+    )
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes(), width
+
+
+def bitpack_decode(buf: bytes, count: int, width: int) -> np.ndarray:
+    """Exact inverse of :func:`bitpack_encode`."""
+    if count == 0:
+        return np.zeros(0, dtype=np.uint64)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), count=count * width, bitorder="little"
+    ).reshape(count, width)
+    return (bits.astype(np.uint64) << np.arange(width, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )

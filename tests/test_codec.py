@@ -50,3 +50,33 @@ def test_known_leb128_bytes():
     # 300 = 0b100101100 -> 0xAC 0x02
     assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
     assert varint_decode(b"\xac\x02", 1).tolist() == [300]
+
+
+# --- binary packing (PFor-family alternative codec) -------------------------
+
+def test_bitpack_roundtrip_random():
+    import numpy as np
+
+    from jvector_spark.index.codec import bitpack_decode, bitpack_encode
+
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        n = int(rng.integers(0, 500))
+        hi = int(rng.choice([1, 2, 7, 255, 2**16, 2**31, 2**63 - 1]))
+        v = rng.integers(0, hi, size=n, dtype=np.uint64)
+        buf, w = bitpack_encode(v)
+        out = bitpack_decode(buf, n, w)
+        assert np.array_equal(out, v)
+
+
+def test_bitpack_edge_cases():
+    import numpy as np
+
+    from jvector_spark.index.codec import bitpack_decode, bitpack_encode
+
+    assert bitpack_encode(np.array([], dtype=np.uint64)) == (b"", 0)
+    buf, w = bitpack_encode(np.array([0, 0, 0], dtype=np.uint64))
+    assert w == 1 and list(bitpack_decode(buf, 3, w)) == [0, 0, 0]
+    big = np.array([2**63 - 1, 1], dtype=np.uint64)
+    buf, w = bitpack_encode(big)
+    assert np.array_equal(bitpack_decode(buf, 2, w), big)
