@@ -116,7 +116,18 @@ def cosine_topk_lsh(
     planes = _hyperplanes(dim, n_planes, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     qbits = int(sum(1 << r for r, p in enumerate(planes) if float(p @ q) > 0))
-    probes = [qbits] + ([qbits ^ (1 << r) for r in range(n_planes)] if multiprobe else [])
+    probes = [qbits]
+    if multiprobe:
+        # Hamming-1 AND Hamming-2 probes: near neighbors that disagree with
+        # the query on up to two hyperplanes are still found — the overquery
+        # knob of the reference's search grid (Bench.java:47-52); with R=6
+        # this scans 22 of 64 buckets instead of the whole corpus
+        probes += [qbits ^ (1 << r) for r in range(n_planes)]
+        probes += [
+            qbits ^ (1 << r) ^ (1 << s)
+            for r in range(n_planes)
+            for s in range(r + 1, n_planes)
+        ]
     bucketed = embeddings.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("_bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
