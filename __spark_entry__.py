@@ -36,6 +36,7 @@ Q_BM25_SQL_VALUES = (
 )
 BOOL_TERMS = ["vector", "merge"]
 PHRASE = ("hash", "join")
+PHRASE3 = ("slow", "hash", "batch")  # present ~8× in 5 docs at sf0.01
 THRESH = 0.3  # documents-vocab idf tops scores out near 0.45 — keep rows non-empty
 NEARDUP_COS = 0.35  # sf0.01 max pairwise cos ≈ 0.51; 0.35 keeps ~100 pairs
 K1, B = 1.2, 0.75
@@ -123,6 +124,22 @@ def _deleted_index_for(spark: SparkSession, sf_dir: str) -> str:
     d = tempfile.mkdtemp(prefix="jvidx_del_")
     build_index(_docs(spark, sf_dir), d, n_parts=2)
     delete_docs(spark, d, DELETE_IDS)
+    _MUTIDX_CACHE[key] = d
+    return d
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted IVF structure (≈√N clusters, assignments partitioned by
+    cluster) over the embeddings table; built once per process per sf_dir."""
+    key = (sf_dir, "ivf")
+    got = _MUTIDX_CACHE.get(key)
+    if got and os.path.exists(os.path.join(got, "centroids")):
+        return got
+    from jvector_spark.operators.similarity import ivf_build
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    d = tempfile.mkdtemp(prefix="jvidx_ivf_")
+    ivf_build(emb, d, n_clusters=None, n_iters=6, seed=77)
     _MUTIDX_CACHE[key] = d
     return d
 
@@ -298,6 +315,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _positions_index_for(spark, sf)
         return phrase_count_indexed(spark, idx, *PHRASE)
 
+    def q_phrase_count3(spark, sf):
+        # n-term arity of the brute-force path (matches the indexed path's)
+        return phrase_count(_docs(spark, sf), *PHRASE3)
+
+    def q_phrase_count3_indexed(spark, sf):
+        from jvector_spark.index.positions import phrase_count_indexed
+
+        idx = _positions_index_for(spark, sf)
+        return phrase_count_indexed(spark, idx, *PHRASE3)
+
     def q_token_positions(spark, sf):
         return token_positions(_docs(spark, sf))
 
@@ -380,15 +407,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return media_meta(d)
 
     def q_media_features(spark, sf):
-        # stub-decoded feature extraction over binary payloads (rows-only:
-        # byte-statistics floats aren't portably SQL-expressible; the
-        # determinism contract is pytest-enforced)
+        # stub-decoded feature extraction over binary payloads, emitted as
+        # the integer-exact features (len/min/max/first/last/checksum are
+        # exact in float32 below 2^24, so the casts are lossless) — these
+        # have a real DuckDB byte-statistics oracle. mean/std (float32
+        # rounding) stay pytest-enforced instead of SQL-compared.
         from jvector_spark.operators.multimodal import decode_image_features
 
         d = _docs(spark, sf).select(
             "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
         )
-        return decode_image_features(d)
+        f = decode_image_features(d)
+        feat = F.col("features")
+        return f.select(
+            "doc_id",
+            feat[0].cast("long").alias("n_bytes"),
+            feat[3].cast("long").alias("b_min"),
+            feat[4].cast("long").alias("b_max"),
+            feat[5].cast("long").alias("b_first"),
+            feat[6].cast("long").alias("b_last"),
+            feat[7].cast("long").alias("b_cksum"),
+        )
 
     def q_embedding_near_dups(spark, sf):
         from jvector_spark.operators.similarity import embedding_near_dups
@@ -419,16 +458,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
 
     def q_ann_topk_ivf(spark, sf):
-        # IVF probe path (C1 k-means codebook analog): rows-only check —
-        # approximate by construction; full-probe == exact and recall floors
-        # are pytest-enforced (tests/test_ivf.py)
-        from jvector_spark.operators.similarity import ivf_topk, ivf_train
-
+        # IVF probe path against the PERSISTED index (assignments hive-
+        # partitioned by cluster → probes prune directories): rows-only
+        # check — approximate by construction; full-probe == exact and
+        # recall floors are pytest-enforced (tests/test_ivf.py)
         emb = _read(spark, sf, "embeddings")
         qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         base = emb.filter(F.col("vec_id") != 0)
-        cents = ivf_train(emb, n_clusters=8, n_iters=6, seed=77)
-        t = ivf_topk(base, cents, list(qv), k=10, n_probe=3)
+        idx = _ivf_index_for(spark, sf)
+        from jvector_spark.operators.similarity import ivf_topk_indexed
+
+        t = ivf_topk_indexed(spark, idx, base, list(qv), k=10, n_probe=6)
+        return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
+
+    def q_ann_topk_sq8(spark, sf):
+        # two-phase SQ8 compressed scan + exact rerank — must be IDENTICAL
+        # to the exact scan (same oracle as ann_topk): the fast-vs-slow
+        # equivalence idiom (TestCompressedVectors.java:231) as a hash-green
+        # contract row
+        from jvector_spark.operators.similarity import ann_topk_sq8
+
+        emb = _read(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        t = ann_topk_sq8(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
         return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
 
     def q_scan_filter(spark, sf):
@@ -510,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_search": q_threshold_search,
         "phrase_count": q_phrase_count,
         "phrase_count_indexed": q_phrase_count_indexed,
+        "phrase_count3": q_phrase_count3,
+        "phrase_count3_indexed": q_phrase_count3_indexed,
         "token_positions": q_token_positions,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -530,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_sq8": q_ann_topk_sq8,
         "scan_filter": q_scan_filter,
         "group_agg": q_group_agg,
         "hash_join": q_hash_join,
@@ -585,10 +640,18 @@ _CAND = (
     "JOIN bands y ON x.band_id = y.band_id AND x.band_key = y.band_key "
     "AND x.doc_id < y.doc_id)"
 )
-_SIZES = "sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id)"
+# hot-shingle cap mirrored from operators.dedup.DEFAULT_MAX_SHINGLE_DF
+# (never binds at test scale — max shingle df is 7 at sf0.01 / 25 at sf0.1 —
+# but keeps the oracle semantics identical to the engine's)
+_MAXDF = 256
+_SHC = (
+    "shc AS (SELECT sh.* FROM sh JOIN (SELECT shingle FROM sh GROUP BY shingle "
+    f"HAVING count(*) <= {_MAXDF}) ok USING (shingle))"
+)
+_SIZES = "sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM shc GROUP BY doc_id)"
 _INTER = (
-    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i FROM sh x "
-    "JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)"
+    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i FROM shc x "
+    "JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)"
 )
 _JAC = (
     "jac AS (SELECT a, b, i / (sa.sz + sb.sz - i) AS jaccard FROM inter "
@@ -629,6 +692,54 @@ SELECT doc_id, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
     ELSE 'es' END AS lang_pred
 FROM hits
 """
+
+
+_U6 = lambda x: f"CAST(floor({x} * 1e6 + 0.5) AS BIGINT)"  # noqa: E731
+
+_ANN_TOPK_SQL = (
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    "s AS (SELECT e.vec_id, "
+    "list_sum(list_transform(list_zip(e.embedding, q.qv), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos "
+    "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0) "
+    "SELECT row_number() OVER (ORDER BY cos DESC, vec_id)::INT AS rank, vec_id, "
+    + _U6("cos")
+    + " AS cos_u6 FROM s QUALIFY rank <= 10"
+)
+
+
+def _phrase_sql(terms: tuple[str, ...]) -> str:
+    """n-term adjacency phrase count over the tokenized positional relation
+    (the DuckDB twin of operators.phrase.phrase_count at any arity)."""
+    joins = " ".join(
+        f"JOIN p t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(terms))
+    )
+    conds = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+    return (
+        f"WITH {_TOKS}, "
+        "pos AS (SELECT doc_id, unnest(list_zip(l, range(1, len(l) + 1))) AS z FROM toks), "
+        "p AS (SELECT doc_id, z[1] AS term, z[2]::BIGINT AS pos FROM pos) "
+        f"SELECT t0.doc_id, count(*)::BIGINT AS n_phrase FROM p t0 {joins} "
+        f"WHERE {conds} GROUP BY t0.doc_id"
+    )
+
+
+_MEDIA_FEATURES_SQL = (
+    # byte statistics of the UTF-8 payload via the hex dump (exact integers;
+    # matches the float32-exact features emitted by decode_image_features)
+    "WITH b AS (SELECT doc_id, hex(encode(text)) AS h, "
+    "octet_length(encode(text))::BIGINT AS n FROM documents), "
+    "u AS (SELECT doc_id, n, list_transform(range(0, n::INT), "
+    "i -> ('0x' || substr(h, (i*2+1)::INT, 2))::BIGINT) AS bl FROM b) "
+    "SELECT doc_id, n AS n_bytes, "
+    "coalesce(list_min(bl), 0)::BIGINT AS b_min, "
+    "coalesce(list_max(bl), 0)::BIGINT AS b_max, "
+    "coalesce(bl[1], 0)::BIGINT AS b_first, "
+    "coalesce(bl[len(bl)], 0)::BIGINT AS b_last, "
+    "(coalesce(list_sum(bl), 0) % 997)::BIGINT AS b_cksum FROM u"
+)
 
 
 def _media_meta_sql() -> str:
@@ -736,22 +847,10 @@ def oracle_sql() -> dict[str, str]:
             f"{_BM25_CTE} SELECT query_id, doc_id, {u6('score')} AS score_u6 "
             f"FROM scores WHERE score >= {THRESH}"
         ),
-        "phrase_count": (
-            f"WITH {_TOKS}, "
-            "pos AS (SELECT doc_id, unnest(list_zip(l, range(1, len(l) + 1))) AS z FROM toks), "
-            "p AS (SELECT doc_id, z[1] AS term, z[2]::BIGINT AS pos FROM pos) "
-            "SELECT a.doc_id, count(*)::BIGINT AS n_phrase FROM p a JOIN p b "
-            f"ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
-            f"WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}' GROUP BY a.doc_id"
-        ),
-        "phrase_count_indexed": (
-            f"WITH {_TOKS}, "
-            "pos AS (SELECT doc_id, unnest(list_zip(l, range(1, len(l) + 1))) AS z FROM toks), "
-            "p AS (SELECT doc_id, z[1] AS term, z[2]::BIGINT AS pos FROM pos) "
-            "SELECT a.doc_id, count(*)::BIGINT AS n_phrase FROM p a JOIN p b "
-            f"ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
-            f"WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}' GROUP BY a.doc_id"
-        ),
+        "phrase_count": _phrase_sql(PHRASE),
+        "phrase_count_indexed": _phrase_sql(PHRASE),
+        "phrase_count3": _phrase_sql(PHRASE3),
+        "phrase_count3_indexed": _phrase_sql(PHRASE3),
         "token_positions": (
             f"WITH {_TOKS}, "
             "pos AS (SELECT doc_id, unnest(list_zip(l, range(1, len(l) + 1))) AS z FROM toks) "
@@ -766,13 +865,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, seed::INT AS seed, minhash FROM sigs"
         ),
         "minhash_near_dups": (
-            f"WITH {_TOKS}, {_SHINGLES}, {_SEEDS}, {_SIGS}, {_BANDS}, {_CAND}, "
+            f"WITH {_TOKS}, {_SHINGLES}, {_SHC}, {_SEEDS}, {_SIGS}, {_BANDS}, {_CAND}, "
             f"{_SIZES}, {_INTER}, {_JAC} "
             f"SELECT c.a, c.b, {u6('j.jaccard')} AS jaccard_u6 FROM cand c "
             "JOIN jac j ON j.a = c.a AND j.b = c.b WHERE j.jaccard >= 0.5"
         ),
         "jaccard_pairs": (
-            f"WITH {_TOKS}, {_SHINGLES}, {_SIZES}, {_INTER}, {_JAC} "
+            f"WITH {_TOKS}, {_SHINGLES}, {_SHC}, {_SIZES}, {_INTER}, {_JAC} "
             f"SELECT a, b, {u6('jaccard')} AS jaccard_u6 FROM jac WHERE jaccard >= 0.5"
         ),
         "simhash": (
@@ -803,11 +902,12 @@ def oracle_sql() -> dict[str, str]:
             f"doc_id, {u6('score')} AS score_u6 FROM scores "
             "QUALIFY rank <= 10"
         ),
-        # postings_build / media_features / embedding_near_dups_lsh:
-        # intentionally no SQL oracle (packed binary blocks, stubbed decode
-        # floats, and an approximate LSH candidate set respectively) — the
-        # driver records rows-only checks; exactness is pytest-enforced.
+        # postings_build / embedding_near_dups_lsh: intentionally no SQL
+        # oracle (packed binary blocks and an approximate LSH candidate set
+        # respectively) — the driver records rows-only checks; exactness is
+        # pytest-enforced.
         "media_meta": _media_meta_sql(),
+        "media_features": _MEDIA_FEATURES_SQL,
         "embedding_near_dups": (
             "WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / "
             "sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv "
@@ -817,17 +917,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM n a JOIN n b ON a.vec_id < b.vec_id) "
             f"SELECT a, b, {u6('cos')} AS cos_u6 FROM p WHERE cos >= {NEARDUP_COS}"
         ),
-        "ann_topk": (
-            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-            "s AS (SELECT e.vec_id, "
-            "list_sum(list_transform(list_zip(e.embedding, q.qv), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / "
-            "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
-            "sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos "
-            "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0) "
-            "SELECT row_number() OVER (ORDER BY cos DESC, vec_id)::INT AS rank, vec_id, "
-            + u6("cos")
-            + " AS cos_u6 FROM s QUALIFY rank <= 10"
-        ),
+        "ann_topk": _ANN_TOPK_SQL,
+        # SQ8 two-phase path must equal the exact scan bit-for-bit — same
+        # oracle (the compressed-vs-exact equivalence the reference tests at
+        # TestCompressedVectors.java:231)
+        "ann_topk_sq8": _ANN_TOPK_SQL,
         # ann_topk_lsh / ann_topk_ivf: approximate operators (hyperplanes /
         # k-means centroids live in numpy) — intentionally no SQL oracle
         # (driver records rows-only); full-probe == exact and recall floors

@@ -72,12 +72,16 @@ HEADLINE = [
     "filter_topk_indexed",
     "phrase_count",
     "phrase_count_indexed",
+    "phrase_count3",
+    "phrase_count3_indexed",
     "exact_dedup",
     "minhash_near_dups",
     "simhash",
     "quality_score",
     "ann_topk",
     "ann_topk_ivf",
+    "ann_topk_sq8",
+    "embedding_near_dups_lsh",
     "group_agg",
     "hash_join",
     "window_rank",
@@ -142,18 +146,62 @@ def accuracy_and_pruning(spark) -> dict:
         .collect()[0]
     )
     qs = entry_mod.queries()
-    exact = {r.vec_id for r in qs["ann_topk"](spark, SF_DIR).collect()}
-    recall = {}
-    for tier in ("ann_topk_lsh", "ann_topk_ivf"):
-        got = {r.vec_id for r in qs[tier](spark, SF_DIR).collect()}
-        recall[tier] = round(len(exact & got) / max(len(exact), 1), 3)
+    from jvector_spark.functions.metrics import map_at_k, mean_metric, recall_at_k
+
+    def _ranked(df):
+        return df.select(F.lit(0).alias("query_id"), "rank", "vec_id")
+
+    exact_df = _ranked(qs["ann_topk"](spark, SF_DIR)).cache()
+    recall, maps = {}, {}
+    for tier in ("ann_topk_lsh", "ann_topk_ivf", "ann_topk_sq8"):
+        got_df = _ranked(qs[tier](spark, SF_DIR))
+        recall[tier] = round(
+            mean_metric(recall_at_k(got_df, exact_df, 10, "vec_id"), "recall"), 3
+        )
+        maps[tier] = round(
+            mean_metric(map_at_k(got_df, exact_df, 10, "vec_id"), "ap"), 3
+        )
+    exact_df.unpersist()
+    # BM25: indexed WAND vs brute-force (rank-identical by contract → 1.0,
+    # but MEASURED here, AccuracyMetrics.java:129-137 analog)
+    got_bm = qs["bm25_topk"](spark, SF_DIR).select("query_id", "rank", "doc_id")
+    want_bm = qs["bm25_topk_bruteforce"](spark, SF_DIR).select(
+        "query_id", "rank", "doc_id"
+    )
+    bm25_map = round(mean_metric(map_at_k(got_bm, want_bm, 10), "ap"), 3)
     dec, skip = int(row["dec"]), int(row["skip"])
     return {
         "wand_blocks_decoded": dec,
         "wand_blocks_skipped": skip,
         "wand_skip_ratio": round(skip / max(dec + skip, 1), 3),
         "bm25_recall_at_10": 1.0,  # rank-identical vs oracle (pytest-enforced)
+        "bm25_map_at_10": bm25_map,
         "recall_at_10": recall,
+        "map_at_10": maps,
+    }
+
+
+def sq8_compression(spark) -> dict:
+    """Measured embedding-compression ratio of the SQ8 tier (the graft of
+    the reference's README.md:166-175 compression headline)."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.similarity import sq8_encode, sq8_train
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    mn, scale = sq8_train(emb)
+    row = (
+        sq8_encode(emb, mn, scale)
+        .agg(F.sum(F.length("codes")).alias("code_bytes"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    raw = int(row["n"]) * len(mn) * 4  # float32 baseline
+    return {
+        "vectors": int(row["n"]),
+        "dim": len(mn),
+        "code_bytes": int(row["code_bytes"]),
+        "raw_float32_bytes": raw,
+        "compression_ratio": round(raw / max(int(row["code_bytes"]), 1), 2),
     }
 
 
@@ -212,25 +260,40 @@ def transcripts_job(spark, src_parquet: str, workdir: str, warmup: bool = True) 
     n_res = bm25_topk_indexed(spark, idx_dir, qterms, k=10, prune=True).count()
     t_query = time.perf_counter() - t0
 
-    # per-query search-cost counters on a 100-query sample (SearchResult
-    # visited/expanded analog) — the Zipf corpus's salted hot terms give
-    # block-max pruning real skip opportunities here
-    prune_row = (
+    # per-query search-cost + latency counters on a 1000-query sample
+    # (SearchResult visited/expanded + LatencyBenchmark.java:30-80 analog):
+    # kernel_ms is the per-query WAND kernel wall time measured INSIDE the
+    # executor, so percentiles reflect search cost, not job scheduling
+    per_q = (
         bm25_topk_indexed(
-            spark, idx_dir, qterms.filter(F.col("query_id") < 100),
+            spark, idx_dir, qterms.filter(F.col("query_id") < 1000),
             k=10, prune=True, with_metrics=True,
         )
         .groupBy("query_id")
         .agg(
             F.first("blocks_decoded").alias("d"),
             F.first("blocks_skipped").alias("s"),
+            F.first("kernel_ms").alias("ms"),
         )
-        .agg(F.sum("d").alias("dec"), F.sum("s").alias("skip"))
-        .collect()[0]
     )
-    dec, skip = int(prune_row["dec"] or 0), int(prune_row["skip"] or 0)
+    rows = per_q.collect()
+    dec = sum(int(r["d"]) for r in rows)
+    skip = sum(int(r["s"]) for r in rows)
+    import numpy as np
+
+    ms = np.sort(np.array([float(r["ms"]) for r in rows]))
+    lat = {
+        "n": len(ms),
+        "mean_ms": round(float(ms.mean()), 3),
+        "p50_ms": round(float(np.percentile(ms, 50)), 3),
+        "p95_ms": round(float(np.percentile(ms, 95)), 3),
+        "p99_ms": round(float(np.percentile(ms, 99)), 3),
+        "p999_ms": round(float(np.percentile(ms, 99.9)), 3),
+        "max_ms": round(float(ms.max()), 3),
+    } if len(ms) else {}
 
     return {
+        "query_kernel_latency": lat,
         "turns": int(n_turns),
         "build_sec": round(t_build, 3),
         "turns_per_sec": round(n_turns / t_build, 1),
@@ -276,6 +339,7 @@ def main() -> None:
     t_all = time.perf_counter()
     result["queries"] = run_headline(spark)
     result["accuracy"] = accuracy_and_pruning(spark)
+    result["sq8_compression"] = sq8_compression(spark)
 
     # north-rule throughput at full parallelism over the synthetic corpus
     from jvector_spark.fixtures import make_transcripts_distributed

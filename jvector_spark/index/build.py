@@ -513,7 +513,8 @@ def _build_index_single_shot(
             ).otherwise(F.lit(1)),
         )
     )
-    dct_pre = assign_dense_ids(dct_pre, ["term"], id_col="term_id").persist()
+    pins: list = []
+    dct_pre = assign_dense_ids(dct_pre, ["term"], id_col="term_id", pins=pins).persist()
     if doc_map_cols:
         write_table(corpus.select(id_col, *doc_map_cols), index_dir, "doc_map")
 
@@ -566,6 +567,8 @@ def _build_index_single_shot(
     write_table(dct_final, index_dir, "dictionary")
     dct_pre.unpersist()
     occ.unpersist()
+    for p in pins:
+        p.unpersist()
 
     # lineage: one job-level row (part_id = -1 marks "all parts, one commit")
     spark.createDataFrame(

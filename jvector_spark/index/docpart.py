@@ -44,7 +44,13 @@ from ..functions.analysis import TOKEN_PATTERN, tokens_col
 from ..operators.doc_ids import assign_dense_ids
 from .build import POSTINGS_SCHEMA, _encode_occ_map_fn
 from .query import SPARSE_EXACT_LIMIT, wand_topk_arrays
-from .storage import FORMAT_VERSION, read_table, table_path, write_table
+from .storage import (
+    FORMAT_VERSION,
+    read_table,
+    table_path,
+    tombstone_ids,
+    write_table,
+)
 
 
 def build_doc_partitioned(
@@ -93,8 +99,9 @@ def build_doc_partitioned(
     n_docs, avgdl = int(st["n"]), float(st["avgdl"])
     bucket_width = max(1, math.ceil(n_docs / n_buckets))
 
+    pins: list = []
     dct = occ.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
-    dct = assign_dense_ids(dct, ["term"], id_col="term_id").persist()
+    dct = assign_dense_ids(dct, ["term"], id_col="term_id", pins=pins).persist()
     if doc_map_cols:
         write_table(corpus.select(id_col, *doc_map_cols), index_dir, "doc_map")
 
@@ -148,6 +155,8 @@ def build_doc_partitioned(
     write_table(dct_final, index_dir, "dictionary")
     dct.unpersist()
     occ.unpersist()
+    for p in pins:
+        p.unpersist()
 
     spark.createDataFrame(
         [(-1, n_docs, int(m["postings"]), int(m["bytes"]), "complete")],
@@ -201,6 +210,11 @@ def bm25_topk_docpart(
     if seg.get("layout") != "doc":
         raise ValueError(f"{index_dir} is not a doc-partitioned index")
     k1, b_, avgdl, n_docs = seg["k1"], seg["b"], seg["avgdl"], int(seg["n_docs"])
+    # tombstones mask on this layout too (M1 semantics — deleted docs must
+    # neither fill nor shadow result slots); the sorted id array ships into
+    # the same WAND kernel `dead` input the term-partitioned path uses
+    dead_set = tombstone_ids(spark, index_dir)
+    dead = np.sort(np.fromiter(dead_set, dtype=np.int64)) if dead_set else None
 
     dct = read_table(spark, index_dir, "dictionary")
     qd = (
@@ -267,7 +281,7 @@ def bm25_topk_docpart(
             qb["weight"] = np.concatenate(w_parts)
             qb["idf"] = np.concatenate(i_parts)
             docs, scores, _dec, _skip = wand_topk_arrays(
-                qb, k, k1, b_, avgdl,
+                qb, k, k1, b_, avgdl, dead=dead,
                 sparse_limit=(SPARSE_EXACT_LIMIT if prune else 2**62),
             )
             out_q.append(np.full(len(docs), qid, dtype=np.int32))

@@ -39,7 +39,7 @@ from ..operators.doc_ids import assign_dense_ids
 from ..operators.text_stats import dictionary as build_dictionary
 from ..operators.text_stats import doc_stats, term_freq
 from .build import POSTINGS_SCHEMA, _encode_map_fn
-from .storage import read_segments, read_table, table_path, write_table
+from .storage import read_segments, read_table, table_path, update_segments
 
 
 def extend_index(
@@ -54,20 +54,29 @@ def extend_index(
     Returns delta metrics."""
     spark = new_corpus.sparkSession
     seg = read_segments(spark, index_dir)
+    if seg.get("layout") == "doc":
+        raise NotImplementedError(
+            "extend_index does not support the doc-partitioned layout yet "
+            "(delta docs would need bucket-aligned part_ids, not the "
+            "(term_id, salt) hash); rebuild via build_doc_partitioned"
+        )
     n_old = int(seg["n_docs"])
     n_parts = int(seg["n_parts"])
     block_size = int(seg["block_size"])
 
+    pins: list = []
     if order_cols:
-        delta = assign_dense_ids(new_corpus, order_cols, "doc_id").withColumn(
-            "doc_id", F.col("doc_id") + F.lit(n_old)
-        )
+        delta = assign_dense_ids(
+            new_corpus, order_cols, "doc_id", pins=pins
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(n_old))
     else:
         delta = new_corpus  # caller-provided doc_id must be >= n_old
     delta = delta.persist()
     m = delta.count()
     if m == 0:
         delta.unpersist()
+        for p in pins:
+            p.unpersist()
         return {"docs_added": 0, "postings_emitted": 0, "bytes_compressed": 0}
 
     tf_new = term_freq(delta, text_col, "doc_id")
@@ -92,7 +101,7 @@ def extend_index(
         joined.filter(F.col("term_id").isNull())
         .select("term", F.col("df_new").alias("df"), F.col("cf_new").alias("cf"))
     )
-    fresh = assign_dense_ids(fresh, ["term"], id_col="term_id").select(
+    fresh = assign_dense_ids(fresh, ["term"], id_col="term_id", pins=pins).select(
         "term",
         (F.col("term_id") + F.lit(int(max_tid) + 1)).alias("term_id"),
         "df",
@@ -157,18 +166,8 @@ def extend_index(
     total = read_table(spark, index_dir, "doc_stats").agg(
         F.count("*").cast("long"), F.avg("dl")
     ).collect()[0]
-    seg_row = spark.createDataFrame(
-        [
-            (
-                int(seg["format_version"]), int(total[0]), float(total[1]),
-                float(seg["k1"]), float(seg["b"]), block_size,
-                seg["token_pattern"], n_parts,
-            )
-        ],
-        "format_version int, n_docs long, avgdl double, k1 double, b double, "
-        "block_size int, token_pattern string, n_parts int",
-    )
-    write_table(seg_row, index_dir, "segments")
+    # stats refresh preserves every other segments column (update_segments)
+    update_segments(spark, index_dir, n_docs=int(total[0]), avgdl=float(total[1]))
 
     gen = spark.createDataFrame(
         [(-1, int(m), int(mtr["postings"]), int(mtr["bytes"]), "delta")],
@@ -177,6 +176,8 @@ def extend_index(
     )
     gen.write.mode("append").parquet(table_path(index_dir, "build_lineage"))
     delta.unpersist()
+    for p in pins:
+        p.unpersist()
     return {
         "docs_added": int(m),
         "postings_emitted": int(mtr["postings"]),

@@ -36,7 +36,7 @@ from .storage import (
     read_table,
     table_path,
     tombstone_ids,
-    write_table,
+    update_segments,
 )
 
 __all__ = ["delete_docs", "tombstone_ids", "compact_index", "set_bm25_params", "verify_index"]
@@ -67,6 +67,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     if not dead:
         return {"docs_removed": 0}
     seg = read_segments(spark, index_dir)
+    if seg.get("layout") == "doc":
+        raise NotImplementedError(
+            "compact_index does not support the doc-partitioned layout yet "
+            "(its part_id is the doc bucket, not a (term_id, salt) hash); "
+            "rebuild via build_doc_partitioned over the live corpus"
+        )
     n_parts = int(seg["n_parts"])
     block_size = int(seg["block_size"])
     dead_df = F.broadcast(
@@ -89,7 +95,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             _encode_map_fn(block_size, carry_part_id=True),
             schema="part_id int, " + POSTINGS_SCHEMA,
         )
-        .observe(obs, F.coalesce(F.sum("n"), F.lit(0)).alias("postings"))
+        .observe(
+            obs,
+            F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
+            (
+                F.coalesce(F.sum(F.length("doc_ids_packed")), F.lit(0))
+                + F.coalesce(F.sum(F.length("tfs_packed")), F.lit(0))
+                + F.coalesce(F.sum(F.length("dls_packed")), F.lit(0))
+            ).alias("bytes"),
+        )
     )
     tmp = table_path(index_dir, "postings__compact")
     blocks.write.mode("overwrite").partitionBy("part_id").parquet(tmp)
@@ -97,6 +111,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     shutil.rmtree(old)
     os.rename(tmp, old)
     postings_live = int(obs.get["postings"])
+    bytes_live = int(obs.get["bytes"])
 
     # shrink doc_stats / doc_map
     for name in ("doc_stats", "doc_map"):
@@ -133,22 +148,20 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     shutil.rmtree(old)
     os.rename(tmp, old)
 
-    # refresh global stats; clear tombstones
+    # refresh global stats (all other segment columns preserved verbatim);
+    # clear tombstones
     total = read_table(spark, index_dir, "doc_stats").agg(
         F.count("*").cast("long"), F.avg("dl")
     ).collect()[0]
-    seg_row = spark.createDataFrame(
-        [
-            (
-                int(seg["format_version"]), int(total[0]), float(total[1]),
-                float(seg["k1"]), float(seg["b"]), block_size,
-                seg["token_pattern"], n_parts,
-            )
-        ],
-        "format_version int, n_docs long, avgdl double, k1 double, b double, "
-        "block_size int, token_pattern string, n_parts int",
-    )
-    write_table(seg_row, index_dir, "segments")
+    update_segments(spark, index_dir, n_docs=int(total[0]), avgdl=float(total[1]))
+    # build_lineage is REWRITTEN with post-compaction totals so verify_index
+    # reconciles against what is actually on disk (a compacted index must
+    # not raise a false corruption alarm against pre-compaction lineage)
+    spark.createDataFrame(
+        [(-1, int(total[0]), postings_live, bytes_live, "compacted")],
+        "part_id int, docs_indexed long, postings_emitted long, "
+        "bytes_compressed long, status string",
+    ).write.mode("overwrite").parquet(table_path(index_dir, "build_lineage"))
     shutil.rmtree(table_path(index_dir, TOMBSTONES), ignore_errors=True)
     return {
         "docs_removed": len(dead),
@@ -165,20 +178,10 @@ def set_bm25_params(spark: SparkSession, index_dir: str, k1: float, b: float) ->
     score provider (GraphIndexBuilder.java:394-437, B9); here the same
     capability is one metadata row rewrite, because nothing baked the old
     (k1, b) into the index. Every query after this must equal a brute-force
-    BM25 with the new parameters exactly (tested)."""
-    seg = read_segments(spark, index_dir)
-    seg_row = spark.createDataFrame(
-        [
-            (
-                int(seg["format_version"]), int(seg["n_docs"]), float(seg["avgdl"]),
-                float(k1), float(b), int(seg["block_size"]),
-                seg["token_pattern"], int(seg["n_parts"]),
-            )
-        ],
-        "format_version int, n_docs long, avgdl double, k1 double, b double, "
-        "block_size int, token_pattern string, n_parts int",
-    )
-    write_table(seg_row, index_dir, "segments")
+    BM25 with the new parameters exactly (tested). Works on BOTH layouts:
+    ``update_segments`` preserves every non-updated column, so a
+    doc-partitioned index keeps its ``layout``/``bucket_width`` metadata."""
+    update_segments(spark, index_dir, k1=float(k1), b=float(b))
     return {"k1": float(k1), "b": float(b)}
 
 

@@ -242,31 +242,43 @@ def _decode_positions_map_fn():
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            terms_out, docs_out, pos_out = [], [], []
-            for i in range(len(pdf)):
-                n = int(pdf["n"].iat[i])
-                n_occ = int(pdf["n_occ"].iat[i])
-                gaps = varint_decode(pdf["doc_ids_packed"].iat[i], n).astype(np.int64)
-                gaps[0] += int(pdf["base"].iat[i])
-                docs = np.cumsum(gaps)
-                counts = varint_decode(pdf["counts_packed"].iat[i], n).astype(np.int64)
-                deltas = varint_decode(
-                    pdf["positions_packed"].iat[i], n_occ
-                ).astype(np.int64)
-                c = np.cumsum(deltas)
-                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-                seg_base = c[starts] - deltas[starts]
-                pos = c - np.repeat(seg_base, counts)
-                terms_out.append(
-                    np.full(n_occ, int(pdf["term_id"].iat[i]), dtype=np.int64)
-                )
-                docs_out.append(np.repeat(docs, counts))
-                pos_out.append(pos)
+            # bulk decode: the WHOLE frame's blocks in three varint calls
+            # (flat concatenated buffers), mirroring the core kernel's
+            # chunked batch_decode (query.py) — the round-1 per-block
+            # Python loop made the indexed phrase path lose to a full scan
+            ns = pdf["n"].to_numpy(np.int64)
+            noc = pdf["n_occ"].to_numpy(np.int64)
+            total_n = int(ns.sum())
+            total_occ = int(noc.sum())
+            if total_n == 0 or total_occ == 0:
+                continue
+            base = pdf["base"].to_numpy(np.int64)
+            gaps = varint_decode(
+                b"".join(pdf["doc_ids_packed"]), total_n
+            ).astype(np.int64)
+            counts = varint_decode(
+                b"".join(pdf["counts_packed"]), total_n
+            ).astype(np.int64)
+            deltas = varint_decode(
+                b"".join(pdf["positions_packed"]), total_occ
+            ).astype(np.int64)
+            # per-block doc ids: cumsum of gaps, rebased per block
+            starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            g = np.cumsum(gaps)
+            before = g[starts] - gaps[starts]
+            docs = g - np.repeat(before, ns) + np.repeat(base, ns)
+            # per-doc positions: every doc's first occurrence is a stored
+            # raw position (a cumsum reset point), so the global cumsum is
+            # rebased at each doc's first-occurrence index
+            occ_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            c = np.cumsum(deltas)
+            doc_base = c[occ_starts] - deltas[occ_starts]
+            pos = c - np.repeat(doc_base, counts)
             yield pd.DataFrame(
                 {
-                    "term_id": np.concatenate(terms_out),
-                    "doc_id": np.concatenate(docs_out),
-                    "pos": np.concatenate(pos_out),
+                    "term_id": np.repeat(pdf["term_id"].to_numpy(np.int64), noc),
+                    "doc_id": np.repeat(docs, counts),
+                    "pos": pos,
                 }
             )
 

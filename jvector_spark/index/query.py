@@ -29,6 +29,7 @@ Plan shape / scale notes:
 from __future__ import annotations
 
 import math
+import time
 from typing import Iterator
 
 import numpy as np
@@ -109,7 +110,10 @@ def _prepared_query_blocks(
     """Join the query set to the dictionary and fetch only the posting
     blocks of queried terms, with directory-level part_id pruning."""
     dct = read_table(spark, index_dir, "dictionary")
-    qd = (
+    # the enriched query relation is tiny (queries × terms): collect it ONCE
+    # and re-emit a local DataFrame for the broadcast join — no persist, so
+    # a long-running query loop pins zero executor storage (round-1 leak)
+    qd_rows = (
         qterms.join(dct.select("term", "term_id", "df", "n_salts"), "term")
         .withColumn(
             "idf",
@@ -120,27 +124,34 @@ def _prepared_query_blocks(
             ),
         )
         .select("query_id", "term_id", "weight", "idf", "n_salts")
-    )
-    qd = qd.persist()
-    # which hive buckets hold these terms? tiny frame → collect is O(q·salts)
-    parts = [
-        r.part_id
-        for r in qd.select(
-            F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1)).alias("salt"),
-            "term_id",
-        )
-        .select(
-            F.pmod(F.xxhash64("term_id", "salt"), F.lit(int(seg["n_parts"])))
-            .cast("int")
-            .alias("part_id")
-        )
-        .distinct()
         .collect()
-    ]
+    )
+    qd = spark.createDataFrame(
+        [(r.query_id, r.term_id, r.weight, r.idf) for r in qd_rows],
+        "query_id int, term_id long, weight double, idf double",
+    )
+    # which hive buckets hold these terms? tiny local relation → xxhash64 is
+    # JVM-side, so resolve part ids via a throwaway local-relation expression
+    pairs = [(int(r.term_id), s) for r in qd_rows for s in range(int(r.n_salts))]
+    parts = (
+        [
+            r.part_id
+            for r in spark.createDataFrame(pairs, "term_id long, salt int")
+            .select(
+                F.pmod(F.xxhash64("term_id", "salt"), F.lit(int(seg["n_parts"])))
+                .cast("int")
+                .alias("part_id")
+            )
+            .distinct()
+            .collect()
+        ]
+        if pairs
+        else []
+    )
     postings = read_table(spark, index_dir, "postings")
     if parts:
         postings = postings.filter(F.col("part_id").isin(parts))
-    return postings.join(F.broadcast(qd.drop("n_salts")), "term_id")
+    return postings.join(F.broadcast(qd), "term_id")
 
 
 def _mask_tombstones(spark: SparkSession, index_dir: str, decoded: DataFrame) -> DataFrame:
@@ -436,9 +447,11 @@ def _wand_group_fn(
         # pagination (Q9 resume analog): compute top-(offset+k) exactly,
         # emit ranks (offset, offset+k] — a batch engine re-derives the
         # skipped prefix instead of holding cursor state
+        t0 = time.perf_counter() if with_metrics else 0.0
         docs, scores, dec, skip = wand_topk_arrays(
             pdf, offset + k, k1, b, avgdl, dead, accept
         )
+        kernel_ms = (time.perf_counter() - t0) * 1e3
         docs, scores = docs[offset:], scores[offset:]
         out = pd.DataFrame(
             {
@@ -449,8 +462,12 @@ def _wand_group_fn(
             }
         )
         if with_metrics:
+            # per-query search-cost + latency counters (SearchResult.java's
+            # visited/expanded + LatencyBenchmark.java:30-80 percentiles
+            # feed off this column in bench.py)
             out["blocks_decoded"] = np.int32(dec)
             out["blocks_skipped"] = np.int32(skip)
+            out["kernel_ms"] = np.float64(kernel_ms)
         return out
 
     return fn
@@ -491,7 +508,7 @@ def bm25_topk_indexed(
     blocks = _prepared_query_blocks(spark, index_dir, qterms, seg)
     schema = "query_id int, rank int, doc_id long, score double"
     if with_metrics:
-        schema += ", blocks_decoded int, blocks_skipped int"
+        schema += ", blocks_decoded int, blocks_skipped int, kernel_ms double"
     return (
         blocks.select(
             "query_id", "term_id", "weight", "idf", "n", "base", "max_doc_id",

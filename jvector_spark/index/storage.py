@@ -72,6 +72,25 @@ def read_segments(spark: SparkSession, index_dir: str) -> dict:
     return read_table(spark, index_dir, "segments").collect()[0].asDict()
 
 
+def update_segments(spark: SparkSession, index_dir: str, **updates) -> dict:
+    """Rewrite the single segments row with ``updates`` applied and EVERY
+    other column preserved verbatim — layout-agnostic (a doc-partitioned
+    index's extra ``layout``/``bucket_width`` columns survive any stats or
+    parameter refresh). This is the only sanctioned way to rewrite
+    ``segments``: re-emitting a fixed column list would silently strip a
+    newer layout's columns and corrupt query dispatch."""
+    tbl = read_table(spark, index_dir, "segments")
+    schema = tbl.schema
+    seg = tbl.collect()[0].asDict()
+    unknown = set(updates) - set(seg)
+    if unknown:
+        raise KeyError(f"unknown segments column(s): {sorted(unknown)}")
+    seg.update(updates)
+    row = tuple(seg[f.name] for f in schema.fields)
+    write_table(spark.createDataFrame([row], schema), index_dir, "segments")
+    return seg
+
+
 def tombstone_ids(spark: SparkSession, index_dir: str) -> set[int] | None:
     """The current tombstone set (deleted doc_ids), or None if empty/absent.
     Driver-side set is intentional: it is broadcast into scoring UDFs, the

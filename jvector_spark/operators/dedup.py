@@ -29,6 +29,28 @@ from ..functions.analysis import tokens_col
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows per band = num_hashes // bands
+# default hot-shingle cap for exact-Jaccard verification: a shingle shared
+# by more than this many docs is a stop-shingle — it contributes pair
+# candidates quadratically while carrying almost no similarity signal.
+# The dedup analog of hot-term salting; callers pass None to disable.
+DEFAULT_MAX_SHINGLE_DF = 256
+
+
+def _shingle_relation(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """(id, shingle) distinct relation, hot shingles dropped per the cap."""
+    sh = corpus.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+    ).distinct()
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    return sh
 
 
 def exact_dedup(corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -122,18 +144,16 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """(a, b, jaccard) for doc pairs with shingle-set Jaccard ≥ threshold,
     a < b. Pairs are generated through an inverted shingle index (docs must
     share ≥1 shingle), with |A| and |B| precomputed so the union is derived
-    from the intersection count — no per-pair set materialization."""
-    sh = corpus.select(
-        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
-    ).distinct()
-    if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    from the intersection count — no per-pair set materialization. This is
+    the *explicit exact tier*: near-quadratic on pathological corpora even
+    with the hot-shingle cap — at scale run ``minhash_near_dups``, whose
+    verification touches candidate pairs only."""
+    sh = _shingle_relation(corpus, text_col, id_col, shingle_n, max_shingle_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -160,16 +180,46 @@ def minhash_near_dups(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """(a, b, jaccard) — LSH candidates verified with exact Jaccard ≥
     threshold. The two-phase shape (cheap candidate pass + exact verify)
     mirrors the reference's approximate-then-rerank search
-    (GraphSearcher.java:451-487)."""
+    (GraphSearcher.java:451-487).
+
+    Verification is strictly candidates-only (the banding win is kept):
+    the shingle relation is first semi-joined down to docs appearing in
+    some candidate pair, the shingle equi-join therefore only ever pairs
+    candidate docs, and generated pairs are semi-joined against the
+    candidate set BEFORE the intersection aggregate. No unrestricted
+    shingle self-join exists anywhere in the plan (plan-audit-tested) —
+    at 10^12 docs the exact-Jaccard work is O(candidates), not
+    O(shingle-cooccurrence)."""
     sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    exact = jaccard_pairs(corpus, text_col, id_col, shingle_n, threshold=0.0)
+    sh = _shingle_relation(corpus, text_col, id_col, shingle_n, max_shingle_df)
+    cand_docs = (
+        cand.select(F.col("a").alias(id_col))
+        .union(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    shc = sh.join(cand_docs, id_col, "left_semi")
+    # sizes over the candidate docs' FULL (capped) shingle sets — identical
+    # denominators to the exact tier
+    sizes = shc.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shc.select(F.col(id_col).alias("a"), "shingle")
+    b = shc.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .join(cand, ["a", "b"], "left_semi")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
     return (
-        cand.join(exact, ["a", "b"])
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

@@ -28,8 +28,24 @@ def assign_dense_ids(
     order_cols: list[str],
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    pins: list | None = None,
+    pre_persist=None,
 ) -> DataFrame:
-    """Add ``id_col``: dense int64 rank 0..N-1 over ``order_cols`` order."""
+    """Add ``id_col``: dense int64 rank 0..N-1 over ``order_cols`` order.
+
+    The internal persist (see comment below) is LOAD-BEARING for
+    determinism, so it cannot be released inside this function — pass
+    ``pins`` (a list) to receive the pinned DataFrame and call
+    ``p.unpersist()`` on each entry AFTER the last action consuming the
+    result (builders do this once their final table is written).
+
+    ``pre_persist`` (optional ``DataFrame -> DataFrame``) transforms the
+    range-partitioned frame BEFORE it is cached — the fusion hook that lets
+    a builder tokenize and drop the raw text inside the one pass that
+    populates the cache (the persisted relation is then the narrow token
+    relation, not the full-text corpus — at 100 TB the difference between
+    caching ~30% of the input and caching 130% of it). The projection MUST
+    keep ``_pid`` and every ``order_cols`` column."""
     if num_partitions is None:
         num_partitions = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         num_partitions = int(num_partitions)
@@ -41,6 +57,8 @@ def assign_dense_ids(
     # exactly like the reference's two-pass renumber-then-write,
     # AbstractGraphIndexWriter.java:146-187).
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    if pins is not None:
+        pins.append(with_pid)
     # One row per partition; collecting this is O(partitions), never O(rows).
     counts = {
         r["_pid"]: r["cnt"]

@@ -28,23 +28,32 @@ def token_positions(
 
 def phrase_count(
     corpus: DataFrame,
-    term1: str,
-    term2: str,
+    *terms: str,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, n_phrase) — docs containing term1 immediately followed by
-    term2, with occurrence counts."""
+    """(doc_id, n_phrase) — docs containing the exact n-term phrase
+    ``terms`` (adjacent, in order), with occurrence counts. Same arity as
+    the index-backed ``positions.phrase_count_indexed`` so the two paths
+    cross-check each other for any phrase length.
+
+    Plan shape: the positional relation is filtered to the phrase's terms
+    (pushed to the scan), then chained through n-1 equi-joins on
+    (doc_id, pos + i) — each join input is only the matching term's
+    occurrences, never the full corpus relation."""
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 terms")
     pos = token_positions(corpus, text_col, id_col)
-    a = pos.filter(F.col("term") == term1).select(
-        F.col(id_col), F.col("pos").alias("p1")
+    acc = pos.filter(F.col("term") == terms[0]).select(
+        F.col(id_col), F.col("pos").alias("p")
     )
-    b = pos.filter(F.col("term") == term2).select(
-        F.col(id_col), F.col("pos").alias("p2")
-    )
-    return (
-        a.join(b, [id_col])
-        .filter(F.col("p2") == F.col("p1") + 1)
-        .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_phrase"))
-    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos.filter(F.col("term") == t).select(
+            F.col(id_col), F.col("pos").alias("p_next")
+        )
+        acc = (
+            acc.join(nxt, [id_col])
+            .filter(F.col("p_next") == F.col("p") + i)
+            .select(id_col, "p")
+        )
+    return acc.groupBy(id_col).agg(F.count("*").cast("long").alias("n_phrase"))

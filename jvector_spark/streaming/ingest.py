@@ -12,12 +12,14 @@ Spark-native shape is not a socket daemon but a Structured Streaming job:
       → ``foreachBatch``: each microbatch is appended to the index via
         :func:`jvector_spark.index.extend.extend_index`
 
-Exactly-once: Spark's streaming checkpoint tracks *offsets*; foreachBatch
-itself is at-least-once on failure. We make the index append idempotent by
-recording every committed ``batch_id`` in a ``stream_lineage`` table inside
-the index dir and skipping batches already present — the streaming twin of
-the build's per-partition ``build_lineage`` checkpoints (B11/B12,
-CheckpointManager.java:33-112).
+Delivery guarantee: Spark's streaming checkpoint tracks *offsets*;
+foreachBatch itself is at-least-once on failure. Replays of COMMITTED
+batches are deduplicated via a ``stream_lineage`` table inside the index
+dir (the streaming twin of the build's per-partition ``build_lineage``
+checkpoints, B11/B12, CheckpointManager.java:33-112). Because an extend is
+a non-atomic multi-table mutation, a crash strictly inside it is made
+*detectable* (pending-without-complete marker → fail-stop on restart)
+rather than silently double-applied; see ``stream_index_transcripts``.
 
 Scale notes: each microbatch runs the same salted repartition-by-term
 encode pipeline as the batch build, so a 1000-executor cluster ingests each
@@ -60,15 +62,32 @@ def transcript_stream(
     return reader.parquet(source_dir)
 
 
-def _committed_batches(spark: SparkSession, index_dir: str) -> set[int]:
+_LINEAGE_SCHEMA = (
+    "batch_id long, docs_indexed long, postings_emitted long, "
+    "bytes_compressed long, status string"
+)
+
+
+def _batch_states(spark: SparkSession, index_dir: str) -> tuple[set[int], set[int]]:
+    """(committed, in_flight) batch ids from stream_lineage. A batch is
+    committed iff a 'complete' row exists; a 'pending' row without a
+    matching 'complete' row means a previous attempt crashed MID-extend —
+    the index may hold a partial delta."""
     path = os.path.join(index_dir, "stream_lineage")
     if not os.path.exists(path):
-        return set()
-    return {r.batch_id for r in spark.read.parquet(path).collect()}
+        return set(), set()
+    rows = spark.read.parquet(path).collect()
+    complete = {r.batch_id for r in rows if r.status == "complete"}
+    pending = {r.batch_id for r in rows if r.status == "pending"} - complete
+    return complete, pending
 
 
 def _record_batch(
-    spark: SparkSession, index_dir: str, batch_id: int, metrics: dict
+    spark: SparkSession,
+    index_dir: str,
+    batch_id: int,
+    metrics: dict,
+    status: str = "complete",
 ) -> None:
     spark.createDataFrame(
         [
@@ -77,9 +96,10 @@ def _record_batch(
                 int(metrics.get("docs_added", metrics.get("docs", 0)) or 0),
                 int(metrics.get("postings_emitted", 0) or 0),
                 int(metrics.get("bytes_compressed", 0) or 0),
+                status,
             )
         ],
-        "batch_id long, docs_indexed long, postings_emitted long, bytes_compressed long",
+        _LINEAGE_SCHEMA,
     ).write.mode("append").parquet(os.path.join(index_dir, "stream_lineage"))
 
 
@@ -102,8 +122,18 @@ def stream_index_transcripts(
 
     Microbatch semantics: the first ever batch creates the index; every
     subsequent batch is an :func:`extend_index` delta whose doc_ids continue
-    densely above the existing corpus. A batch already present in
-    ``stream_lineage`` is skipped (idempotent replay after crash).
+    densely above the existing corpus.
+
+    Delivery guarantee (honest version): exactly-once **for committed
+    batches** with fail-stop on a detected partial batch. A 'pending'
+    lineage row is written BEFORE the (non-atomic, multi-table) extend
+    mutates the index and a 'complete' row after; replay of a completed
+    batch is skipped (idempotent), while a pending row with no matching
+    complete row proves a crash mid-extend — the index may hold a partial
+    delta, so ingest raises instead of silently double-appending postings
+    (which would inflate n_docs and scores). Recovery: rebuild the index
+    (or restore the index dir from a snapshot) and restart the stream; the
+    streaming checkpoint replays only unconsumed source files.
     """
     order_cols = order_cols or ["conv_id", "turn_idx"]
     from ..index.build import build_index
@@ -114,8 +144,17 @@ def stream_index_transcripts(
         s = batch.sparkSession
         if batch.isEmpty():
             return
-        if batch_id in _committed_batches(s, index_dir):
+        committed, in_flight = _batch_states(s, index_dir)
+        if batch_id in committed:
             return  # replayed after failure — already applied
+        if in_flight:
+            raise RuntimeError(
+                f"stream_lineage shows batch(es) {sorted(in_flight)} pending "
+                "with no complete marker: a previous run crashed mid-extend "
+                "and the index may hold a partial delta. Rebuild the index "
+                "(or restore it) before restarting the stream."
+            )
+        _record_batch(s, index_dir, batch_id, {}, status="pending")
         # stable within-batch ordering: files may arrive in any order, the
         # dense-id assignment is always over the declared natural key
         if os.path.exists(os.path.join(index_dir, "segments", "_SUCCESS")):
@@ -128,7 +167,7 @@ def stream_index_transcripts(
                 docs, index_dir, doc_map_cols=doc_map_cols, n_parts=n_parts
             )
             m["docs_added"] = batch.count()
-        _record_batch(s, index_dir, batch_id, m)
+        _record_batch(s, index_dir, batch_id, m, status="complete")
 
     stream = transcript_stream(spark, source_dir, max_files_per_trigger)
     writer = (

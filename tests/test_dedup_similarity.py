@@ -69,22 +69,92 @@ def test_simhash_identical_and_near(spark, corpus_with_dups):
     assert near and sum(near) / len(near) <= 4
 
 
-def test_ann_lsh_recall_vs_exact(spark):
+def test_ann_lsh_recall_floor_and_determinism(spark):
+    """Multi-band OR-amplified LSH must land ≥0.9 mean recall@10 vs the
+    exact scan at the default operating point — the reference's >0.9
+    overlap bound (TestVectorGraph.java:626-673) applied to the graft."""
     from jvector_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    qv = list(emb.filter(F.col("vec_id") == 0).collect()[0].embedding)
-    rest = emb.filter(F.col("vec_id") != 0)
-    exact = [r.vec_id for r in cosine_topk(rest, qv, k=10).collect()]
-    # these embeddings are uniform-random (neighbors are noise-level), so
-    # recall tracks the probed corpus fraction: 4 of 8 buckets with 3
-    # planes + Hamming-1 multiprobe measured 0.7 here
-    approx = [r.vec_id for r in cosine_topk_lsh(rest, qv, k=10, n_planes=3).collect()]
-    recall = len(set(exact) & set(approx)) / 10
-    assert recall >= 0.4, (recall, exact, approx)
-    # determinism: same seed → same result
-    again = [r.vec_id for r in cosine_topk_lsh(rest, qv, k=10, n_planes=3).collect()]
-    assert approx == again
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    recalls = []
+    for qid in (0, 5, 11, 42, 99):
+        qv = list(emb.filter(F.col("vec_id") == qid).collect()[0].embedding)
+        rest = emb.filter(F.col("vec_id") != qid)
+        exact = [r.vec_id for r in cosine_topk(rest, qv, k=10).collect()]
+        approx = [r.vec_id for r in cosine_topk_lsh(rest, qv, k=10).collect()]
+        recalls.append(len(set(exact) & set(approx)) / 10)
+        if qid == 0:
+            again = [r.vec_id for r in cosine_topk_lsh(rest, qv, k=10).collect()]
+            assert approx == again  # fixed seed → deterministic
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_embedding_near_dups_lsh_pair_recall_floor(spark):
+    """OR-amplified banding must recover ≥0.9 of the exact tier's pairs at
+    the contract threshold (round 1's single AND-band sat at ~0.3)."""
+    from jvector_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r.a, r.b) for r in embedding_near_dups(emb, 0.35).collect()}
+    lsh = {(r.a, r.b) for r in embedding_near_dups_lsh(emb, 0.35).collect()}
+    assert lsh <= exact  # verification is exact: no false positives
+    recall = len(exact & lsh) / max(len(exact), 1)
+    assert recall >= 0.9, (recall, len(exact), len(lsh))
+
+
+def test_embedding_near_dups_lsh_selective_on_real_dups(spark):
+    """In the true near-duplicate regime (planted pairs at cos ≥ 0.95) the
+    banding is simultaneously high-recall AND selective — the regime the
+    operator is built for; the uniform-noise corpus above is its
+    worst case and documented as such."""
+    import numpy as np
+
+    from jvector_spark.operators.similarity import embedding_near_dups_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((300, 32))
+    dup = base[:30] + 0.05 * rng.standard_normal((30, 32))  # cos ≈ 0.999
+    X = np.vstack([base, dup])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.a, r.b) for r in embedding_near_dups_lsh(emb, 0.9).collect()}
+    want = {(i, 300 + i) for i in range(30)}
+    found = len(want & got) / len(want)
+    assert found >= 0.9, (found, len(got))
+
+
+def test_ann_sq8_two_phase_equals_exact(spark):
+    """SQ8 compressed first pass + exact rerank must be rank-identical to
+    the exact scan (fast-vs-slow equivalence, TestCompressedVectors.java:231)
+    and the codes must be exactly 1 byte/dim (4× vs float32)."""
+    from jvector_spark.operators.similarity import (
+        ann_topk_sq8,
+        cosine_topk,
+        sq8_encode,
+        sq8_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    mn, scale = sq8_train(emb)
+    dim = len(mn)
+    codes = sq8_encode(emb, mn, scale)
+    lens = codes.select(F.length("codes").alias("l")).distinct().collect()
+    assert [r.l for r in lens] == [dim]
+    for qid in (0, 7):
+        qv = list(emb.filter(F.col("vec_id") == qid).collect()[0].embedding)
+        rest = emb.filter(F.col("vec_id") != qid)
+        want = [
+            (r.rank, r.vec_id, round(r.cos, 9))
+            for r in cosine_topk(rest, qv, k=10).collect()
+        ]
+        got = [
+            (r.rank, r.vec_id, round(r.cos, 9))
+            for r in ann_topk_sq8(rest, qv, k=10).collect()
+        ]
+        assert got == want
 
 
 def test_phrase_count_matches_python(spark, corpus, transcripts_pdf):

@@ -87,3 +87,64 @@ def test_probe_recall_floor(spark, embeddings, centroids):
         }
         recalls.append(len(want & got) / 10)
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_recall_floor_on_clustered_data(spark, tmp_path):
+    """≥0.9 recall@10 at a NON-full-probe operating point, on data with
+    actual cluster structure (the regime IVF is for — the reference's >0.9
+    overlap bound, TestVectorGraph.java:626-673, runs on structured
+    datasets, not uniform noise; on the noise fixture above recall ≈ probed
+    fraction by information-theoretic necessity, measured and documented in
+    BASELINE.md)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((20, 32)) * 3.0
+    X = np.vstack([c + rng.standard_normal((100, 32)) * 0.3 for c in centers])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    d = str(tmp_path / "ivf")
+    ivf_build(emb, d, n_clusters=20, n_iters=8, seed=77)
+    recalls = []
+    for qid in (0, 150, 777, 1500):
+        qv = list(X[qid].astype(float))
+        base = emb.filter(F.col("vec_id") != qid)
+        want = {r.vec_id for r in cosine_topk(base, qv, k=10).collect()}
+        got = {
+            r.vec_id
+            for r in ivf_topk_indexed(spark, d, base, qv, k=10, n_probe=4).collect()
+        }
+        recalls.append(len(want & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark, embeddings, tmp_path):
+    """The persisted-assignments probe must PARTITION-PRUNE: the scan's
+    plan carries a cluster partition filter, so only probed hive dirs are
+    read (round 1 recomputed the full assignment per query)."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.similarity import ivf_build, ivf_topk_indexed
+    from jvector_spark.plans import explain_str
+
+    d = str(tmp_path / "ivf_small")
+    ivf_build(embeddings, d, n_clusters=8, n_iters=4, seed=77)
+    qv = list(
+        embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    df = ivf_topk_indexed(
+        spark, d, embeddings.filter(F.col("vec_id") != 0), qv, k=10, n_probe=2
+    )
+    plan = explain_str(df, "formatted")
+    assert "cluster" in plan  # partition filter present on assignments scan
+    # and no full-assignment recompute: no mapInPandas over embeddings
+    # appears on the assignments side (it is a pure parquet scan)
+    got = df.count()
+    assert got > 0

@@ -34,6 +34,7 @@ CHEAP_KEYS = [
 INDEXED_KEYS = [
     "bm25_topk", "bm25_topk_docpart", "postings_decode", "threshold_search",
     "postings_build", "filter_topk_indexed", "phrase_count_indexed",
+    "phrase_count3", "phrase_count3_indexed",
 ]
 
 
@@ -78,6 +79,40 @@ def test_indexed_query_prunes_postings_partitions(spark, entry_mod):
 
     plan = explain_str(df, "formatted")
     assert "part_id" in plan  # partition filter present on the postings scan
+
+
+def test_minhash_verification_is_candidates_only(spark, entry_mod):
+    """The exact-Jaccard verify stage of minhash_near_dups must be
+    restricted to LSH candidates BEFORE the intersection aggregate: the
+    plan carries the two left-semi restrictions (docs → candidate docs,
+    pairs → candidate pairs), so no unrestricted shingle self-join exists
+    (the round-1 scale anti-pattern)."""
+    from jvector_spark.plans import explain_str
+
+    df = entry_mod.queries()["minhash_near_dups"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert plan.count("LeftSemi") >= 2, plan
+
+
+def test_no_pinned_rdds_after_query_batch(spark, entry_mod):
+    """Long-running serving hygiene: a query batch (and an index build)
+    must leave zero persisted RDDs behind (round-1 leak: the prepared query
+    relation and assign_dense_ids' range-pinned frame stayed cached)."""
+    import tempfile
+
+    from jvector_spark.index.build import build_index
+    from jvector_spark.index.query import bm25_topk_indexed
+
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    d = tempfile.mkdtemp(prefix="jv_hygiene_")
+    docs = entry_mod._docs(spark, SF_DIR)
+    build_index(docs, d, n_parts=2, checkpointed=False)
+    bm25_topk_indexed(spark, d, entry_mod._qterms(spark), k=10, prune=True).count()
+    bm25_topk_indexed(spark, d, entry_mod._qterms(spark), k=10, prune=False).count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == baseline, (
+        f"{after - baseline} new RDD(s) pinned after build+query batch"
+    )
 
 
 def test_wand_scan_skips_packed_columns_for_meta(spark, entry_mod):

@@ -60,9 +60,18 @@ def test_stream_index_equals_batch_and_resumes(spark, stream_pdf, tmp_path_facto
         spark, src, idx, ckpt, n_parts=2, max_files_per_trigger=1
     )
 
-    lineage = spark.read.parquet(os.path.join(idx, "stream_lineage"))
+    lineage = spark.read.parquet(os.path.join(idx, "stream_lineage")).filter(
+        F.col("status") == "complete"
+    )
     batches = lineage.count()
     assert batches == 3
+    # every complete batch was preceded by its pending marker
+    pend = (
+        spark.read.parquet(os.path.join(idx, "stream_lineage"))
+        .filter(F.col("status") == "pending")
+        .count()
+    )
+    assert pend == batches
     assert (
         lineage.agg(F.sum("docs_indexed")).collect()[0][0] == len(stream_pdf)
     )
@@ -83,7 +92,12 @@ def test_stream_index_equals_batch_and_resumes(spark, stream_pdf, tmp_path_facto
     stream_index_transcripts(
         spark, src, idx, ckpt, n_parts=2, max_files_per_trigger=1
     )
-    assert spark.read.parquet(os.path.join(idx, "stream_lineage")).count() == batches
+    assert (
+        spark.read.parquet(os.path.join(idx, "stream_lineage"))
+        .filter(F.col("status") == "complete")
+        .count()
+        == batches
+    )
 
 
 def test_stream_picks_up_new_files_incrementally(spark, stream_pdf, tmp_path_factory):
