@@ -342,6 +342,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p = jaccard_pairs(_docs(spark, sf), threshold=0.5)
         return p.select("a", "b", _u6(F.col("jaccard")).alias("jaccard_u6"))
 
+    def q_dedup_groups(spark, sf):
+        # connected components over the LSH-verified near-dup pairs: the
+        # "keep one representative per duplicate cluster" step (iterative
+        # min-label propagation vs the oracle's recursive CTE)
+        from jvector_spark.operators.dedup import dedup_components
+
+        p = minhash_near_dups(_docs(spark, sf), threshold=0.5)
+        return dedup_components(p)
+
     def q_simhash(spark, sf):
         return simhash(_docs(spark, sf), bits=16)
 
@@ -427,6 +436,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             feat[5].cast("long").alias("b_first"),
             feat[6].cast("long").alias("b_last"),
             feat[7].cast("long").alias("b_cksum"),
+        )
+
+    def q_frame_sample(spark, sf):
+        # fixed-width frame sampling over binary payloads (stubbed keyframe
+        # seek, real row-multiplicity/schema/batching) — frames emitted as
+        # (idx, byte length, hex-digest) so the check is hash-exact
+        from jvector_spark.operators.multimodal import frame_sample
+
+        d = _docs(spark, sf).select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        f = frame_sample(d, every_n_bytes=256)
+        return f.select(
+            "doc_id",
+            "frame_idx",
+            F.length("frame_bytes").cast("long").alias("n_bytes"),
+            F.md5(F.hex(F.col("frame_bytes"))).alias("frame_md5"),
         )
 
     def q_embedding_near_dups(spark, sf):
@@ -569,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_near_dups": q_minhash_near_dups,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -579,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_build": q_postings_build,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "ann_topk": q_ann_topk,
@@ -874,6 +902,18 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_TOKS}, {_SHINGLES}, {_SHC}, {_SIZES}, {_INTER}, {_JAC} "
             f"SELECT a, b, {u6('jaccard')} AS jaccard_u6 FROM jac WHERE jaccard >= 0.5"
         ),
+        "dedup_groups": (
+            f"WITH RECURSIVE {_TOKS}, {_SHINGLES}, {_SHC}, {_SEEDS}, {_SIGS}, "
+            f"{_BANDS}, {_CAND}, {_SIZES}, {_INTER}, {_JAC}, "
+            "e AS (SELECT c.a, c.b FROM cand c JOIN jac j ON j.a = c.a AND j.b = c.b "
+            "WHERE j.jaccard >= 0.5), "
+            "und AS (SELECT a AS n, b AS m FROM e UNION SELECT b, a FROM e), "
+            "reach(n, m) AS ("
+            "SELECT n, n FROM (SELECT DISTINCT n FROM und) "
+            "UNION "
+            "SELECT und.m, reach.m FROM reach JOIN und ON und.n = reach.n) "
+            "SELECT n::BIGINT AS doc_id, min(m)::BIGINT AS rep_id FROM reach GROUP BY n"
+        ),
         "simhash": (
             f"WITH {_TOKS}, {_TOK}, {_TF}, "
             "h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf), "
@@ -908,6 +948,18 @@ def oracle_sql() -> dict[str, str]:
         # pytest-enforced.
         "media_meta": _media_meta_sql(),
         "media_features": _MEDIA_FEATURES_SQL,
+        "frame_sample": (
+            # fixed-width frames over the payload's hex dump (256 bytes =
+            # 512 hex chars per frame); md5 over the hex string matches the
+            # Spark side's md5(hex(frame_bytes)) exactly
+            "WITH b AS (SELECT doc_id, hex(encode(text)) AS h, "
+            "octet_length(encode(text))::BIGINT AS n FROM documents), "
+            "f AS (SELECT doc_id, h, "
+            "unnest(range(0, greatest(1, ceil(n / 256.0))::INT)) AS fi FROM b) "
+            "SELECT doc_id, fi::INT AS frame_idx, "
+            "(length(substr(h, (fi * 512 + 1)::INT, 512)) / 2)::BIGINT AS n_bytes, "
+            "md5(substr(h, (fi * 512 + 1)::INT, 512)) AS frame_md5 FROM f"
+        ),
         "embedding_near_dups": (
             "WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / "
             "sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv "

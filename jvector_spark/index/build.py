@@ -429,6 +429,59 @@ def build_index(
     }
 
 
+def build_index_transcripts(
+    src: DataFrame,
+    index_dir: str,
+    order_cols: list[str],
+    text_col: str = "text",
+    doc_map_cols: list[str] | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    block_size: int = BLOCK_SIZE,
+    salt_threshold: int = 4096,
+    target_salt_postings: int = 4096,
+    n_parts: int = 8,
+) -> dict:
+    """Fused end-to-end build from a raw (un-id'd) transcripts table:
+    dense-id assignment, tokenization, and the raw-text drop all happen
+    inside the ONE pass that populates the only corpus-sized cache.
+
+    Why this beats chaining ``assign_dense_ids`` + ``build_index`` (the
+    round-1 shape): that chain caches the corpus WITH its text (for the
+    deterministic-range pin), caches it again inside the build, and caches
+    the *exploded* occurrence relation a third time — at 2→8 cores the
+    measured build-scaling efficiency was 0.40 because the timed region was
+    dominated by this cache traffic, which saturates a single box's memory
+    bandwidth long before the cores do. Here exactly one relation is ever
+    cached — (_pid, order_cols, token array), raw text already projected
+    away — the scan reads text bytes once, and occurrences are re-derived
+    from the cached arrays by the two consumers (a vocabulary aggregate and
+    the single corpus-sized shuffle). Same output index, byte-for-byte
+    (equivalence-tested)."""
+    from ..functions.analysis import tokens_col
+
+    pins: list = []
+    keep = [c for c in (doc_map_cols or []) if c not in order_cols]
+    pre = assign_dense_ids(
+        src,
+        order_cols,
+        "doc_id",
+        pins=pins,
+        pre_persist=lambda d: d.select(
+            "_pid", *order_cols, *keep, tokens_col(text_col).alias("_toks")
+        ),
+    )
+    try:
+        return _build_index_single_shot(
+            pre, index_dir, text_col, "doc_id", doc_map_cols, k1, b,
+            block_size, salt_threshold, target_salt_postings, n_parts,
+            toks_col="_toks",
+        )
+    finally:
+        for p in pins:
+            p.unpersist()
+
+
 def _build_index_single_shot(
     corpus: DataFrame,
     index_dir: str,
@@ -441,6 +494,7 @@ def _build_index_single_shot(
     salt_threshold: int,
     target_salt_postings: int,
     n_parts: int,
+    toks_col: str | None = None,
 ) -> dict:
     """Fast path: 3-4 Spark jobs total, no staging round-trip.
 
@@ -468,30 +522,47 @@ def _build_index_single_shot(
 
     from ..functions.analysis import tokens_col
 
-    corpus = corpus.persist()
-
-    # tokenize EXACTLY once: the occurrence relation feeds doc_stats, the
-    # dictionary, and the encode shuffle from this one materialization
-    # (string work is the bandwidth-heavy part of the whole build; at
-    # cluster scale MEMORY_AND_DISK spills gracefully instead of OOMing)
-    occ = (
-        corpus.select(
-            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    own_persists: list = []
+    if toks_col is None:
+        corpus = corpus.persist()
+        own_persists.append(corpus)
+        # tokenize EXACTLY once: the occurrence relation feeds doc_stats,
+        # the dictionary, and the encode shuffle from this one
+        # materialization (string work is the bandwidth-heavy part of the
+        # whole build; at cluster scale MEMORY_AND_DISK spills gracefully
+        # instead of OOMing)
+        occ = (
+            corpus.select(
+                F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+            )
+            .select(
+                "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .select(
-            "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        own_persists.append(occ)
+        # doc_stats: dl rides on every occurrence; empty docs come back via
+        # the left join against the (column-pruned) id scan
+        dl_rel = occ.groupBy("doc_id").agg(F.first("dl").cast("long").alias("dl"))
+        dstats = (
+            corpus.select(F.col(id_col).alias("doc_id"))
+            .join(dl_rel, "doc_id", "left")
+            .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    # doc_stats: dl rides on every occurrence; empty docs come back via the
-    # left join against the (column-pruned) id scan
-    dl_rel = occ.groupBy("doc_id").agg(F.first("dl").cast("long").alias("dl"))
-    dstats = (
-        corpus.select(F.col(id_col).alias("doc_id"))
-        .join(dl_rel, "doc_id", "left")
-        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
-    )
+    else:
+        # pre-tokenized fused path (build_index_transcripts): the caller
+        # already pinned the narrow token relation — occurrences are
+        # RE-DERIVED lazily from the cached arrays by each consumer (two
+        # cheap explodes beat caching the 30×-wider exploded relation), and
+        # doc_stats needs no join (empty docs carry empty arrays)
+        occ = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks_col).alias("dl"),
+            F.explode(toks_col).alias("term"),
+        )
+        dstats = corpus.select(
+            F.col(id_col).alias("doc_id"), F.size(toks_col).cast("long").alias("dl")
+        )
     obs_stats = Observation("corpus_stats")
     dstats = dstats.observe(
         obs_stats, F.count("*").alias("n"), F.avg("dl").alias("avgdl")
@@ -566,7 +637,6 @@ def _build_index_single_shot(
     )
     write_table(dct_final, index_dir, "dictionary")
     dct_pre.unpersist()
-    occ.unpersist()
     for p in pins:
         p.unpersist()
 
@@ -588,7 +658,8 @@ def _build_index_single_shot(
         "block_size int, token_pattern string, n_parts int",
     )
     write_table(seg, index_dir, "segments")
-    corpus.unpersist()
+    for p in own_persists:
+        p.unpersist()
     return {
         "parts": n_parts,
         "parts_built": n_parts,

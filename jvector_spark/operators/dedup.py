@@ -225,6 +225,67 @@ def minhash_near_dups(
     )
 
 
+def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(doc_id, rep_id) — connected components over a near-dup pair graph
+    (a < b edges), each doc labeled with the minimum doc_id reachable from
+    it: the canonical "keep one representative per duplicate cluster" step
+    after ``minhash_near_dups``.
+
+    Iterative min-label propagation: label(n) ← min(label(n),
+    min(label(neighbors))) until a fixpoint, checked via the (monotone
+    non-increasing) label sum — O(component diameter) joins, each a plain
+    shuffle-by-id. Near-dup clusters are shallow (dozens of docs), so this
+    converges in a handful of rounds; a corpus with pathological million-hop
+    chains would want the large-star/small-star contraction instead
+    (documented trade-off, not needed for dedup graphs). Only docs that
+    appear in some pair are returned (singletons are their own rep
+    trivially)."""
+    # materialize the edge relation ONCE: every fixpoint iteration joins it,
+    # and without the persist each join would replay the whole upstream
+    # near-dup pipeline (LSH + verify) per iteration
+    und = (
+        pairs.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .union(pairs.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .persist()
+    )
+    labels = und.select("n").distinct().withColumn("lbl", F.col("n")).persist()
+    prev = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = (
+            und.join(
+                labels.select(F.col("n").alias("m"), F.col("lbl").alias("mlbl")),
+                "m",
+            )
+            .groupBy("n")
+            .agg(F.min("mlbl").alias("nbr_lbl"))
+        )
+        nxt = (
+            labels.join(nbr, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        cur = nxt.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = nxt
+        if cur == prev:
+            break
+        prev = cur
+    # the final labels stay persisted: the returned frame is consumed lazily
+    # by the caller and unpersisting here would replay the whole fixpoint
+    # chain on first use; callers doing many component runs in one session
+    # should `.unpersist()` the returned frame's source via spark.catalog
+    # (or collect it — it is pair-participant-sized, far below corpus size)
+    return labels.select(
+        F.col("n").cast("long").alias("doc_id"),
+        F.col("lbl").cast("long").alias("rep_id"),
+    )
+
+
 def simhash(
     corpus: DataFrame,
     text_col: str = "text",

@@ -56,7 +56,10 @@ def assign_dense_ids(
     # or StorageLevel.DISK_ONLY; the cost is one extra materialization,
     # exactly like the reference's two-pass renumber-then-write,
     # AbstractGraphIndexWriter.java:146-187).
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    if pre_persist is not None:
+        with_pid = pre_persist(with_pid)
+    with_pid = with_pid.persist()
     if pins is not None:
         pins.append(with_pid)
     # One row per partition; collecting this is O(partitions), never O(rows).

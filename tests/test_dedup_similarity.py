@@ -157,6 +157,31 @@ def test_ann_sq8_two_phase_equals_exact(spark):
         assert got == want
 
 
+def test_dedup_components_min_label(spark):
+    """Connected components over a pair graph: every node labeled with the
+    min doc_id of its component; chains, triangles, and singletons-in-pairs
+    all resolve (vs a python union-find oracle)."""
+    edges = [(1, 2), (2, 3), (3, 9), (5, 6), (10, 11), (11, 10 + 100)]
+    from jvector_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {(r.doc_id, r.rep_id) for r in dedup_components(pairs).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
 def test_phrase_count_matches_python(spark, corpus, transcripts_pdf):
     from jvector_spark.fixtures import tokenize_py
     from jvector_spark.operators.phrase import phrase_count

@@ -213,3 +213,53 @@ def test_single_shot_build_equals_checkpointed(spark, corpus, index_dir, query_s
         for r in bm25_topk_indexed(spark, d, qdf, k=10).collect()
     )
     assert ga == gb
+
+
+def test_fused_transcripts_build_equals_chained(spark, transcripts, corpus, query_set, tmp_path):
+    """build_index_transcripts (one cached narrow token relation, text
+    dropped in the caching pass) must produce an index logically identical
+    to assign_dense_ids + build_index — same segments, same decoded
+    postings, same top-k."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.index.build import build_index, build_index_transcripts
+    from jvector_spark.index.query import bm25_topk_indexed, decode_postings
+    from jvector_spark.index.storage import read_segments
+    from jvector_spark.operators.topk import queries_df
+
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    d1 = str(tmp_path / "fused")
+    build_index_transcripts(
+        transcripts, d1, ["conv_id", "turn_idx"],
+        doc_map_cols=["conv_id", "turn_idx"],
+        salt_threshold=64, target_salt_postings=64, n_parts=4,
+    )
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base  # no leak
+    d2 = str(tmp_path / "chained")
+    build_index(
+        corpus, d2, doc_map_cols=["conv_id", "turn_idx"],
+        salt_threshold=64, target_salt_postings=64, n_parts=4,
+        checkpointed=False,
+    )
+    assert read_segments(spark, d1) == read_segments(spark, d2)
+    dec = lambda p: sorted(  # noqa: E731
+        (r.term_id, r.doc_id, r.tf, r.dl)
+        for r in decode_postings(spark, p).collect()
+    )
+    assert dec(d1) == dec(d2)
+    # doc_map carries the natural key
+    dm = spark.read.parquet(d1 + "/doc_map")
+    assert set(dm.columns) == {"doc_id", "conv_id", "turn_idx"}
+    qdf = queries_df(
+        spark,
+        list(zip(query_set["query_id"][:10], [list(t) for t in query_set["terms"][:10]])),
+    )
+    ga = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in bm25_topk_indexed(spark, d1, qdf, k=10).collect()
+    )
+    gb = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in bm25_topk_indexed(spark, d2, qdf, k=10).collect()
+    )
+    assert ga == gb

@@ -114,10 +114,12 @@ def test_embedding_near_dups_lsh_subset_and_recall(spark, vectors):
     )
 
     exact = {(r.a, r.b) for r in embedding_near_dups(vectors, 0.99).collect()}
-    got = {(r.a, r.b) for r in embedding_near_dups_lsh(vectors, 0.99, n_planes=8).collect()}
+    got = {(r.a, r.b) for r in embedding_near_dups_lsh(vectors, 0.99).collect()}
     assert got <= exact  # verify step never invents pairs
-    # near-identical vectors collide in all but vanishing LSH splits
-    assert len(got) >= 0.7 * len(exact)
+    # OR-amplified banding: near-identical vectors collide in ≥1 of the 16
+    # bands in all but vanishing splits (round 1's single AND-band floor
+    # was 0.7; the multi-band construction is test-floored at 0.9)
+    assert len(got) >= 0.9 * len(exact)
 
 
 def test_cosine_topk_no_global_window_plan(spark, vectors):

@@ -27,10 +27,14 @@ CHEAP_KEYS = [
     "filter_topk", "phrase_count", "token_positions", "exact_dedup",
     "minhash_signatures", "minhash_near_dups", "jaccard_pairs", "simhash",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
-    "media_meta", "media_features", "embedding_near_dups", "ann_topk",
+    "media_meta", "media_features", "frame_sample", "embedding_near_dups",
+    "embedding_near_dups_lsh", "ann_topk", "ann_topk_lsh", "ann_topk_sq8",
     "scan_filter", "group_agg", "hash_join", "window_rank", "sort_limit",
     "events_window_agg",
 ]
+# dedup_groups is excluded: building its frame RUNS the fixpoint loop
+# (driver-side actions); its plan is plain joins/aggregates with no Python
+# boundary, covered by the dedup CHEAP_KEYS entries above.
 INDEXED_KEYS = [
     "bm25_topk", "bm25_topk_docpart", "postings_decode", "threshold_search",
     "postings_build", "filter_topk_indexed", "phrase_count_indexed",
