@@ -260,6 +260,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = tfidf_topk_bruteforce(_docs(spark, sf), _qterms(spark), k=10)
         return t.select("query_id", "rank", "doc_id", _u6(F.col("score")).alias("score_u6"))
 
+    def q_tfidf_topk_indexed(spark, sf):
+        # same fused posting blocks, second exact scoring kernel (Q11) —
+        # must hash-match the brute-force tfidf oracle
+        from jvector_spark.index.query import tfidf_topk_indexed
+
+        idx = _index_for(spark, sf)
+        t = tfidf_topk_indexed(spark, idx, _qterms(spark), k=10)
+        return t.select("query_id", "rank", "doc_id", _u6(F.col("score")).alias("score_u6"))
+
     def q_postings_decode(spark, sf):
         idx = _index_for(spark, sf)
         return decode_postings(spark, idx).select("term_id", "doc_id", "tf")
@@ -578,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docpart": q_bm25_topk_docpart,
         "bm25_topk_bruteforce": q_bm25_topk_bruteforce,
         "tfidf_topk": q_tfidf_topk,
+        "tfidf_topk_indexed": q_tfidf_topk_indexed,
         "postings_decode": q_postings_decode,
         "boolean_and": q_boolean_and,
         "boolean_or": q_boolean_or,
@@ -787,6 +797,18 @@ def _media_meta_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     u6 = lambda x: f"CAST(floor({x} * 1e6 + 0.5) AS BIGINT)"  # noqa: E731
     cents = lambda x: f"CAST(floor({x} * 100.0 + 0.5) AS BIGINT)"  # noqa: E731
+    tfidf_sql = (
+        f"WITH {_TOKS}, {_TOK}, {_TF}, {_STATS.replace('FROM dl', 'FROM (SELECT doc_id, len(l)::BIGINT AS dl FROM toks) dl')}, {_QT}, "
+        "qdf AS (SELECT term, count(*)::BIGINT AS df FROM tf "
+        "WHERE term IN (SELECT term FROM qt) GROUP BY term), "
+        "s AS (SELECT qt.query_id, tf.doc_id, "
+        "sum(qt.weight * (1.0 + ln(tf.tf)) * ln(1.0 + stats.n_docs / qdf.df)) AS score "
+        "FROM tf JOIN qt USING (term) JOIN qdf USING (term) CROSS JOIN stats "
+        "GROUP BY qt.query_id, tf.doc_id) "
+        "SELECT query_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank, "
+        f"doc_id, {u6('score')} AS score_u6 FROM s QUALIFY rank <= 10"
+    )
     return {
         "doc_ids": (
             "SELECT doc_id, (row_number() OVER (ORDER BY source, doc_id) - 1)::BIGINT AS new_id "
@@ -821,18 +843,8 @@ def oracle_sql() -> dict[str, str]:
             f"doc_id, {u6('score')} AS score_u6 FROM scores "
             "QUALIFY rank <= 10"
         ),
-        "tfidf_topk": (
-            f"WITH {_TOKS}, {_TOK}, {_TF}, {_STATS.replace('FROM dl', 'FROM (SELECT doc_id, len(l)::BIGINT AS dl FROM toks) dl')}, {_QT}, "
-            "qdf AS (SELECT term, count(*)::BIGINT AS df FROM tf "
-            "WHERE term IN (SELECT term FROM qt) GROUP BY term), "
-            "s AS (SELECT qt.query_id, tf.doc_id, "
-            "sum(qt.weight * (1.0 + ln(tf.tf)) * ln(1.0 + stats.n_docs / qdf.df)) AS score "
-            "FROM tf JOIN qt USING (term) JOIN qdf USING (term) CROSS JOIN stats "
-            "GROUP BY qt.query_id, tf.doc_id) "
-            "SELECT query_id, "
-            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank, "
-            f"doc_id, {u6('score')} AS score_u6 FROM s QUALIFY rank <= 10"
-        ),
+        "tfidf_topk": tfidf_sql,
+        "tfidf_topk_indexed": tfidf_sql,
         "postings_decode": (
             f"WITH {_TOKS}, {_TOK}, {_TF}, "
             "dict AS (SELECT term, (row_number() OVER (ORDER BY term) - 1)::BIGINT AS term_id "

@@ -51,6 +51,10 @@ SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "720000"))
 # still printed (secondary, "saturated" section) for transparency.
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
+# corpus size for the multi-process sharded (executor-analog) experiment:
+# 4× the core-scaling corpus so each shard process carries enough work to
+# amortize its fixed per-job costs (the regime any real 100 TB build is in)
+SHARD_TURNS = int(os.environ.get("SPARK_GRAFT_SHARD_TURNS", "2880000"))
 # enough queries that per-query WAND compute, not job-submission overhead,
 # dominates the timed region (ThroughputBenchmark-style parallel stream)
 N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "5000"))
@@ -107,11 +111,17 @@ def run_headline(spark) -> dict[str, float]:
 
     qs = entry_mod.queries()
     out: dict[str, float] = {}
-    # one-time posting-index build over the sf documents table, timed as its
-    # own entry so bm25_topk below measures pure query latency
+    # one-time index builds over the sf tables, timed as their own entries
+    # so the query entries below measure pure query latency
     t0 = time.perf_counter()
     entry_mod._index_for(spark, SF_DIR)
     out["index_build"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    entry_mod._positions_index_for(spark, SF_DIR)
+    out["positions_build"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    entry_mod._ivf_index_for(spark, SF_DIR)
+    out["ivf_build"] = round(time.perf_counter() - t0, 4)
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
@@ -327,6 +337,7 @@ def transcripts_job(
         }
 
     return {
+        "idx_dir": idx_dir,
         "query_kernel_latency": lat,
         **out_dp,
         "turns": int(n_turns),
@@ -339,6 +350,116 @@ def transcripts_job(
         "wand_blocks_skipped": skip,
         "wand_skip_ratio": round(skip / max(dec + skip, 1), 3),
     }
+
+
+def _shard_job_main(
+    shard_idx: int, n_shards: int, cores: int, src: str, workdir: str, offset: int
+) -> None:
+    """Subprocess entry for the sharded (multi-executor-group) scaling
+    experiment: build ONE shard's complete index in an isolated JVM at
+    ``cores`` — the sandbox stand-in for one executor group of a
+    1000-executor cluster. All shard processes warm up, rendezvous on a
+    file barrier, then time their builds concurrently — so the parent's
+    max(shard wall) is an honest same-start wall-clock."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.index.sharded import build_shard
+    from jvector_spark.session import get_spark
+
+    spark = get_spark(
+        cores=cores, shuffle_partitions=16, app_name=f"jv_shard_{n_shards}_{shard_idx}"
+    )
+    srcdf = spark.read.parquet(src)
+    shard = (
+        srcdf.filter(F.pmod(F.xxhash64("conv_id"), F.lit(n_shards)) == shard_idx)
+        if n_shards > 1
+        else srcdf
+    )
+    n = shard.count()
+    warm_dir = os.path.join(workdir, f"warm_{n_shards}_{shard_idx}")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_shard(
+        shard.filter(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(12)) == 0),
+        warm_dir, ["conv_id", "turn_idx"], n_parts=2,
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    # barrier: announce ready, wait for the parent's go signal
+    open(os.path.join(workdir, f"ready_{n_shards}_{shard_idx}"), "w").close()
+    go = os.path.join(workdir, f"go_{n_shards}")
+    while not os.path.exists(go):
+        time.sleep(0.05)
+    out_dir = os.path.join(workdir, f"shard_{n_shards}_{shard_idx}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_shard(
+        shard, out_dir, ["conv_id", "turn_idx"], id_offset=offset,
+        n_parts=2, salt_threshold=4096, target_salt_postings=4096,
+    )
+    dt = time.perf_counter() - t0
+    spark.stop()
+    print(
+        "SHARDRESULT "
+        + json.dumps({"shard": shard_idx, "turns": int(n), "build_sec": round(dt, 3),
+                      "dir": out_dir})
+    )
+
+
+def sharded_scaling(src: str, workdir: str, shard_counts: list[int]) -> dict:
+    """The multi-process executor-scaling analog: the SAME input built by
+    1 process × 2 cores vs 4 concurrent processes × 2 cores (4× resources,
+    separate JVMs — each with its own heap, GC, and Python worker pool,
+    like 4 executor groups). Efficiency = thr(4 procs) / (4 × thr(1 proc)).
+    The output of the 4-way run is a valid sharded index (global stats
+    merged + scatter-gather queried by the caller)."""
+    import subprocess
+
+    total = sum(shard_counts)
+    out: dict = {"turns": total, "procs_lo": 1, "procs_hi": 4, "cores_per_proc": 2}
+    for n_shards in (1, 4):
+        for f in os.listdir(workdir):
+            if f.startswith(("ready_", "go_")):
+                os.remove(os.path.join(workdir, f))
+        offsets = [sum(shard_counts[:i]) for i in range(n_shards)] if n_shards > 1 else [0]
+        procs = []
+        for i in range(n_shards):
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__), "--shard-job",
+                     str(i), str(n_shards), "2", src, workdir, str(offsets[i])],
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                )
+            )
+        deadline = time.time() + 1200
+        while time.time() < deadline:
+            if all(
+                os.path.exists(os.path.join(workdir, f"ready_{n_shards}_{i}"))
+                for i in range(n_shards)
+            ):
+                break
+            time.sleep(0.2)
+        open(os.path.join(workdir, f"go_{n_shards}"), "w").close()
+        results = []
+        for p in procs:
+            so, se = p.communicate(timeout=1200)
+            lines = [l for l in so.splitlines() if l.startswith("SHARDRESULT ")]
+            if not lines:
+                raise RuntimeError(f"shard job failed: {se[-1500:]}")
+            results.append(json.loads(lines[-1][len("SHARDRESULT "):]))
+        wall = max(r["build_sec"] for r in results)
+        key = "lo" if n_shards == 1 else "hi"
+        out[key] = {
+            "wall_sec": wall,
+            "turns_per_sec": round(total / wall, 1),
+            "per_shard": [
+                {"turns": r["turns"], "build_sec": r["build_sec"]} for r in results
+            ],
+        }
+        if n_shards > 1:
+            out["shard_dirs"] = [r["dir"] for r in results]
+    out["build_efficiency"] = round(
+        out["hi"]["turns_per_sec"] / (4 * out["lo"]["turns_per_sec"]), 3
+    )
+    return out
 
 
 def _job_main(cores: int, src: str, workdir: str) -> None:
@@ -365,6 +486,12 @@ def main() -> None:
     if len(sys.argv) >= 5 and sys.argv[1] == "--job":
         _job_main(int(sys.argv[2]), sys.argv[3], sys.argv[4])
         return
+    if len(sys.argv) >= 8 and sys.argv[1] == "--shard-job":
+        _shard_job_main(
+            int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+            sys.argv[5], sys.argv[6], int(sys.argv[7]),
+        )
+        return
 
     workdir = tempfile.mkdtemp(prefix="jv_bench_")
     result: dict = {
@@ -390,6 +517,39 @@ def main() -> None:
     ).parquet(src)
     # headline suite already ran the identical build pipeline in this JVM
     result["throughput"] = transcripts_job(spark, src, workdir, warmup=False)
+
+    # phrase at transcripts scale: the positional feature's payoff regime
+    # (at sf0.1's 5k docs a full scan is sub-second and the indexed path is
+    # driver-latency-bound; both numbers are reported)
+    from jvector_spark.index.positions import add_positions, phrase_count_indexed
+    from jvector_spark.operators.doc_ids import assign_dense_ids
+    from jvector_spark.operators.phrase import phrase_count
+
+    idx_for_pos = result["throughput"].pop("idx_dir")
+    pins: list = []
+    docs_pos = assign_dense_ids(
+        spark.read.parquet(src), ["conv_id", "turn_idx"], "doc_id", pins=pins
+    )
+    t0 = time.perf_counter()
+    add_positions(docs_pos, idx_for_pos)
+    t_pos = time.perf_counter() - t0
+    phrase_count(docs_pos, "t0001", "t0002").count()  # warm
+    t0 = time.perf_counter()
+    phrase_count(docs_pos, "t0001", "t0002").count()
+    t_brute = time.perf_counter() - t0
+    phrase_count_indexed(spark, idx_for_pos, "t0001", "t0002").count()  # warm
+    t0 = time.perf_counter()
+    phrase_count_indexed(spark, idx_for_pos, "t0001", "t0002").count()
+    t_idx = time.perf_counter() - t0
+    for p in pins:
+        p.unpersist()
+    result["phrase_at_scale"] = {
+        "turns": result["throughput"]["turns"],
+        "positions_build_sec": round(t_pos, 3),
+        "phrase_bruteforce_sec": round(t_brute, 3),
+        "phrase_indexed_sec": round(t_idx, 3),
+        "indexed_speedup": round(t_brute / max(t_idx, 1e-9), 2),
+    }
 
     # the doc-partitioned (scatter-gather) engine over the same corpus and
     # query set — the serving-QPS architecture (SURVEY Q10 merge shape)
@@ -426,6 +586,22 @@ def main() -> None:
         # its own subprocess (fresh JVM), like separate spark-submit runs
         import subprocess
 
+        from pyspark.sql import functions as F
+
+        from jvector_spark.fixtures import make_transcripts_distributed as _mtd
+
+        shard_src = os.path.join(workdir, "transcripts_sharded")
+        _mtd(spark, SHARD_TURNS, n_partitions=64).write.mode("overwrite").parquet(
+            shard_src
+        )
+        shard_counts = [
+            r.n
+            for r in spark.read.parquet(shard_src)
+            .groupBy(F.pmod(F.xxhash64("conv_id"), F.lit(4)).alias("s"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("s")
+            .collect()
+        ]
         spark.stop()
         scaling: dict = {
             "turns": SCALE_TURNS, "lo_cores": SCALE_LO, "hi_cores": SCALE_HI,
@@ -467,6 +643,30 @@ def main() -> None:
                 scaling["hi"]["dp_qps"] / (ratio * scaling["lo"]["dp_qps"]), 3
             )
         result["scaling"] = scaling
+
+        # multi-process sharded build: the closest in-sandbox analog of
+        # N → 4N EXECUTORS (separate JVMs/heaps/python pools; same input)
+        sh = sharded_scaling(shard_src, workdir, shard_counts)
+        # the 4-way output is a real sharded index: merge stats and answer
+        # the query set via scatter-gather to prove it is the same engine
+        spark2 = get_spark(cores=CPUS, app_name="jv_shard_verify")
+        from jvector_spark.fixtures import make_query_set as _mqs
+        from jvector_spark.index.sharded import bm25_topk_sharded, merge_shard_stats
+        from jvector_spark.operators.topk import queries_df as _qdf
+
+        merge_shard_stats(spark2, sh["shard_dirs"])
+        qset2 = _mqs(1000)
+        qterms2 = _qdf(
+            spark2, [(r.query_id, list(r.terms)) for r in qset2.itertuples(index=False)]
+        )
+        t0 = time.perf_counter()
+        n_sh = bm25_topk_sharded(spark2, sh["shard_dirs"], qterms2, k=10).count()
+        sh["query_sec_1000q_32c"] = round(time.perf_counter() - t0, 3)
+        sh["qps_32c"] = round(1000 / sh["query_sec_1000q_32c"], 2)
+        sh["result_rows"] = int(n_sh)
+        spark2.stop()
+        sh.pop("shard_dirs", None)
+        result["scaling_sharded"] = sh
     else:
         spark.stop()
 

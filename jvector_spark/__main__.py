@@ -93,6 +93,49 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_shard_build(args) -> int:
+    """Build ONE shard of a sharded index — submit N of these (one
+    spark-submit per shard / executor group), then ``shard-merge`` once."""
+    from pyspark.sql import functions as F
+
+    from .index.sharded import build_shard
+
+    spark = _spark(args)
+    src = spark.read.parquet(args.source)
+    shard = src.filter(
+        F.pmod(F.xxhash64(args.shard_col), F.lit(args.n_shards)) == args.shard
+    )
+    m = build_shard(
+        shard, args.index, args.order_cols.split(","),
+        id_offset=args.id_offset, n_parts=args.n_parts,
+    )
+    print(json.dumps(m))
+    return 0
+
+
+def cmd_shard_merge(args) -> int:
+    from .index.sharded import merge_shard_stats
+
+    spark = _spark(args)
+    m = merge_shard_stats(spark, args.shards.split(","))
+    print(json.dumps(m))
+    return 0
+
+
+def cmd_shard_query(args) -> int:
+    from .index.sharded import bm25_topk_sharded
+    from .operators.topk import queries_df
+
+    spark = _spark(args)
+    qterms = queries_df(spark, [(0, args.terms.split())])
+    res = bm25_topk_sharded(
+        spark, args.shards.split(","), qterms, k=args.k
+    ).orderBy("rank")
+    for r in res.collect():
+        print(json.dumps({"rank": r.rank, "doc_id": r.doc_id, "score": r.score}))
+    return 0
+
+
 def cmd_stats(args) -> int:
     from pyspark.sql import functions as F
 
@@ -154,6 +197,30 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--n-parts", type=int, default=8)
     s.add_argument("--follow", action="store_true", help="keep running (no availableNow)")
     s.set_defaults(fn=cmd_stream)
+
+    sb = sub.add_parser(
+        "shard-build",
+        help="build one shard of a sharded index (submit one per executor group)",
+    )
+    sb.add_argument("--source", required=True)
+    sb.add_argument("--index", required=True, help="this shard's index dir")
+    sb.add_argument("--shard", type=int, required=True)
+    sb.add_argument("--n-shards", type=int, required=True)
+    sb.add_argument("--shard-col", default="conv_id")
+    sb.add_argument("--id-offset", type=int, default=0)
+    sb.add_argument("--order-cols", default="conv_id,turn_idx")
+    sb.add_argument("--n-parts", type=int, default=8)
+    sb.set_defaults(fn=cmd_shard_build)
+
+    sm = sub.add_parser("shard-merge", help="merge corpus-wide stats across shards")
+    sm.add_argument("--shards", required=True, help="comma-separated shard dirs")
+    sm.set_defaults(fn=cmd_shard_merge)
+
+    sq = sub.add_parser("shard-query", help="scatter-gather BM25 over shards")
+    sq.add_argument("--shards", required=True)
+    sq.add_argument("--terms", required=True)
+    sq.add_argument("--k", type=int, default=10)
+    sq.set_defaults(fn=cmd_shard_query)
 
     st = sub.add_parser("stats", help="print index header + lineage totals")
     st.add_argument("--index", required=True)

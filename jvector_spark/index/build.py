@@ -441,10 +441,13 @@ def build_index_transcripts(
     salt_threshold: int = 4096,
     target_salt_postings: int = 4096,
     n_parts: int = 8,
+    id_offset: int = 0,
 ) -> dict:
     """Fused end-to-end build from a raw (un-id'd) transcripts table:
     dense-id assignment, tokenization, and the raw-text drop all happen
     inside the ONE pass that populates the only corpus-sized cache.
+    ``id_offset`` shifts every assigned doc_id (a shard of a sharded index
+    occupies the dense global range [offset, offset + n); index.sharded).
 
     Why this beats chaining ``assign_dense_ids`` + ``build_index`` (the
     round-1 shape): that chain caches the corpus WITH its text (for the
@@ -471,11 +474,13 @@ def build_index_transcripts(
             "_pid", *order_cols, *keep, tokens_col(text_col).alias("_toks")
         ),
     )
+    if id_offset:
+        pre = pre.withColumn("doc_id", F.col("doc_id") + F.lit(int(id_offset)))
     try:
         return _build_index_single_shot(
             pre, index_dir, text_col, "doc_id", doc_map_cols, k1, b,
             block_size, salt_threshold, target_salt_postings, n_parts,
-            toks_col="_toks",
+            toks_col="_toks", id_offset=id_offset,
         )
     finally:
         for p in pins:
@@ -495,6 +500,7 @@ def _build_index_single_shot(
     target_salt_postings: int,
     n_parts: int,
     toks_col: str | None = None,
+    id_offset: int = 0,
 ) -> dict:
     """Fast path: 3-4 Spark jobs total, no staging round-trip.
 
@@ -591,10 +597,14 @@ def _build_index_single_shot(
 
     enriched = (
         occ.join(F.broadcast(dct_pre.select("term", "term_id", "n_salts")), "term")
+        # salt from the SHARD-LOCAL rank (doc_id - id_offset): a sharded
+        # build's ids start at its global offset, and salting must span the
+        # shard's own [0, n_docs) range to keep doc-range sub-lists balanced
         .withColumn(
             "salt",
             F.least(
-                (F.col("doc_id") * F.col("n_salts") / F.lit(n_docs)).cast("int"),
+                ((F.col("doc_id") - F.lit(int(id_offset))) * F.col("n_salts")
+                 / F.lit(n_docs)).cast("int"),
                 F.col("n_salts") - 1,
             ).cast("int"),
         )

@@ -105,24 +105,39 @@ def decode_postings(spark: SparkSession, index_dir: str, extra_cols: list[str] |
 # ---------------------------------------------------------------------------
 
 def _prepared_query_blocks(
-    spark: SparkSession, index_dir: str, qterms: DataFrame, seg: dict
+    spark: SparkSession, index_dir: str, qterms: DataFrame, seg: dict,
+    global_df: DataFrame | None = None,
+    idf: str = "bm25",
 ) -> DataFrame:
     """Join the query set to the dictionary and fetch only the posting
-    blocks of queried terms, with directory-level part_id pruning."""
-    dct = read_table(spark, index_dir, "dictionary")
+    blocks of queried terms, with directory-level part_id pruning.
+
+    ``global_df`` (term, df) overrides the shard-local document frequencies
+    for idf — the sharded-index path computes idf from CORPUS-wide stats so
+    per-shard scores are exact final scores (see ``index.sharded``);
+    ``seg['n_docs']`` is likewise already the global count there."""
+    dct = read_table(spark, index_dir, "dictionary").select(
+        "term", "term_id", "df", "n_salts"
+    )
+    if global_df is not None:
+        dct = dct.drop("df").join(global_df.select("term", "df"), "term")
     # the enriched query relation is tiny (queries × terms): collect it ONCE
     # and re-emit a local DataFrame for the broadcast join — no persist, so
     # a long-running query loop pins zero executor storage (round-1 leak)
-    qd_rows = (
-        qterms.join(dct.select("term", "term_id", "df", "n_salts"), "term")
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(seg["n_docs"])) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
+    idf_col = (
+        # Robertson-Sparck-Jones (BM25) idf
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(seg["n_docs"])) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
         )
+        if idf == "bm25"
+        # classic smoothed tf-idf idf (Q11's second exact kernel)
+        else F.log(F.lit(1.0) + F.lit(float(seg["n_docs"])) / F.col("df"))
+    )
+    qd_rows = (
+        qterms.join(dct, "term")
+        .withColumn("idf", idf_col)
         .select("query_id", "term_id", "weight", "idf", "n_salts")
         .collect()
     )
@@ -174,10 +189,14 @@ def _mask_tombstones(spark: SparkSession, index_dir: str, decoded: DataFrame) ->
 def bm25_topk_indexed_unpruned(
     spark: SparkSession, index_dir: str, qterms: DataFrame, k: int = 10,
     offset: int = 0,
+    global_stats: dict | None = None,
+    global_df: DataFrame | None = None,
 ) -> DataFrame:
     """Decode matched blocks → JVM-side scoring → window top-k."""
     seg = read_segments(spark, index_dir)
-    blocks = _prepared_query_blocks(spark, index_dir, qterms, seg)
+    if global_stats:
+        seg = {**seg, **global_stats}
+    blocks = _prepared_query_blocks(spark, index_dir, qterms, seg, global_df)
     carry = ["term_id", "query_id", "weight", "idf"]
     schema = "term_id long, query_id int, weight double, idf double, doc_id long, tf long, dl long"
     decoded = blocks.select(*carry, "n", "base", "doc_ids_packed", "tfs_packed", "dls_packed").mapInPandas(
@@ -481,6 +500,8 @@ def bm25_topk_indexed(
     prune: bool = True,
     with_metrics: bool = False,
     offset: int = 0,
+    global_stats: dict | None = None,
+    global_df: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k over the index. ``prune=False`` is the relational exact
     path; ``prune=True`` runs Block-Max WAND (results must be identical —
@@ -488,24 +509,35 @@ def bm25_topk_indexed(
     docs (index/maintenance.delete_docs) are masked on both paths.
     ``offset`` pages past the first ``offset`` results (Q9 resume analog,
     GraphSearcher.java:489-527). A doc-partitioned index (layout="doc")
-    dispatches to the scatter-gather engine transparently."""
+    dispatches to the scatter-gather engine transparently.
+
+    ``global_stats`` ({n_docs, avgdl}) and ``global_df`` (term → corpus
+    df) override shard-local statistics so a shard of a sharded index
+    scores with CORPUS-wide BM25 constants (format v2 derives block bounds
+    from (max_tf, min_dl) + these stats at query time, so pruning stays
+    lossless under overridden stats too)."""
     seg0 = read_segments(spark, index_dir)
+    if global_stats:
+        seg0 = {**seg0, **global_stats}
     if seg0.get("layout") == "doc":
-        if offset or with_metrics:
+        if offset or with_metrics or global_stats or global_df:
             raise ValueError(
-                "offset/with_metrics not supported on doc-partitioned layout"
+                "offset/with_metrics/global overrides not supported on "
+                "doc-partitioned layout"
             )
         from .docpart import bm25_topk_docpart
 
         return bm25_topk_docpart(spark, index_dir, qterms, k, prune)
     if not prune:
-        return bm25_topk_indexed_unpruned(spark, index_dir, qterms, k, offset)
+        return bm25_topk_indexed_unpruned(
+            spark, index_dir, qterms, k, offset, global_stats, global_df
+        )
     seg = seg0
     dead_set = tombstone_ids(spark, index_dir)
     dead = (
         np.sort(np.fromiter(dead_set, dtype=np.int64)) if dead_set else None
     )
-    blocks = _prepared_query_blocks(spark, index_dir, qterms, seg)
+    blocks = _prepared_query_blocks(spark, index_dir, qterms, seg, global_df)
     schema = "query_id int, rank int, doc_id long, score double"
     if with_metrics:
         schema += ", blocks_decoded int, blocks_skipped int, kernel_ms double"
@@ -522,6 +554,41 @@ def bm25_topk_indexed(
             ),
             schema=schema,
         )
+    )
+
+
+def tfidf_topk_indexed(
+    spark: SparkSession, index_dir: str, qterms: DataFrame, k: int = 10
+) -> DataFrame:
+    """Index-backed TF-IDF top-k (Q11's second exact scoring kernel over
+    the same fused posting blocks): decode matched blocks (directory-pruned
+    like the BM25 path), score ``weight · (1+ln tf) · ln(1 + N/df)``
+    JVM-side, window top-k. Must equal the brute-force tfidf oracle
+    (hash-checked by the driver)."""
+    seg = read_segments(spark, index_dir)
+    blocks = _prepared_query_blocks(spark, index_dir, qterms, seg, idf="tfidf")
+    carry = ["term_id", "query_id", "weight", "idf"]
+    schema = (
+        "term_id long, query_id int, weight double, idf double, "
+        "doc_id long, tf long, dl long"
+    )
+    decoded = blocks.select(
+        *carry, "n", "base", "doc_ids_packed", "tfs_packed", "dls_packed"
+    ).mapInPandas(_decode_map_fn(carry), schema=schema)
+    decoded = _mask_tombstones(spark, index_dir, decoded)
+    contrib = (
+        F.col("weight") * F.col("idf") * (F.lit(1.0) + F.log(F.col("tf")))
+    )
+    scored = (
+        decoded.withColumn("contrib", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )
 
 

@@ -257,11 +257,16 @@ def embedding_near_dups_lsh(
     )
     a = keyed.select(F.col(id_col).alias("a"), "_band", "_bucket")
     b = keyed.select(F.col(id_col).alias("b"), "_band", "_bucket")
+    # candidate pairs materialized once (pair-sized): they feed the doc
+    # restriction and the final verify join — the 48-plane banding
+    # expression is expensive enough that re-executing it per consumer
+    # dominated the operator's wall-clock
     cand = (
         a.join(b, ["_band", "_bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        .persist()
     )
     cand_docs = (
         cand.select(F.col("a").alias(id_col))

@@ -38,7 +38,7 @@ CHEAP_KEYS = [
 INDEXED_KEYS = [
     "bm25_topk", "bm25_topk_docpart", "postings_decode", "threshold_search",
     "postings_build", "filter_topk_indexed", "phrase_count_indexed",
-    "phrase_count3", "phrase_count3_indexed",
+    "phrase_count3", "phrase_count3_indexed", "tfidf_topk_indexed",
 ]
 
 

@@ -100,6 +100,26 @@ def test_stream_index_equals_batch_and_resumes(spark, stream_pdf, tmp_path_facto
     )
 
 
+def test_stream_fail_stops_on_partial_batch(spark, stream_pdf, tmp_path_factory):
+    """A 'pending' lineage row with no matching 'complete' row proves a
+    crash mid-extend (the index may hold a partial delta): restart must
+    fail-stop instead of silently double-appending postings."""
+    from jvector_spark.streaming import stream_index_transcripts
+    from jvector_spark.streaming.ingest import _record_batch
+
+    root = str(tmp_path_factory.mktemp("stream_partial"))
+    src = os.path.join(root, "src")
+    idx = os.path.join(root, "idx")
+    ckpt = os.path.join(root, "ckpt")
+    _write_chunks(stream_pdf, src, n_chunks=2)
+    # simulate a previous run that crashed mid-extend on some batch
+    os.makedirs(idx, exist_ok=True)
+    _record_batch(spark, idx, 999, {}, status="pending")
+    with pytest.raises(Exception) as ei:
+        stream_index_transcripts(spark, src, idx, ckpt, n_parts=2)
+    assert "pending" in str(ei.value)
+
+
 def test_stream_picks_up_new_files_incrementally(spark, stream_pdf, tmp_path_factory):
     from jvector_spark.fixtures import make_transcripts_pdf
     from jvector_spark.index.query import bm25_topk_indexed
