@@ -36,6 +36,34 @@ DEFAULT_BANDS = 4  # rows per band = num_hashes // bands
 DEFAULT_MAX_SHINGLE_DF = 256
 
 
+def _exploded_shingles(
+    corpus: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) rows, one per shingle position.
+
+    The token array is materialized ONCE per document in its own
+    projection: inlining the tokenizer into the per-position ``transform``
+    lambda re-tokenizes the full text for every shingle (O(positions ×
+    text-length) per doc — measured 10× the rest of the whole near-dup
+    operator at sf0.1). The ``monotonically_increasing_id`` column is a
+    deliberate optimizer barrier: ``CollapseProject`` does not merge
+    through a non-deterministic projection, which would re-inline the
+    token array into every lambda reference."""
+    toks = corpus.select(
+        F.col(id_col),
+        tokens_col(text_col).alias("_toks"),
+        F.monotonically_increasing_id().alias("_nocollapse"),
+    )
+    shingles = F.when(
+        F.size("_toks") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n} + 1), "
+            f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+
+
 def _shingle_relation(
     corpus: DataFrame,
     text_col: str,
@@ -44,10 +72,16 @@ def _shingle_relation(
     max_shingle_df: int | None,
 ) -> DataFrame:
     """(id, shingle) distinct relation, hot shingles dropped per the cap."""
-    sh = corpus.select(
-        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
-    ).distinct()
+    sh = _exploded_shingles(corpus, text_col, id_col, shingle_n).distinct()
     if max_shingle_df is not None:
+        # the relation feeds BOTH the df-count aggregate and the anti-join
+        # (plus the caller's consumers) — persist so the tokenize/explode/
+        # distinct pipeline runs once. The aggregate+broadcast-anti-join
+        # shape is deliberate: a count-window over shingle would put an
+        # entire stop-shingle's rows in one partition, while the aggregate
+        # combines map-side and ships only the (tiny) hot list. At cluster
+        # scale swap the persist for a staging-table write (DISK_ONLY).
+        sh = sh.persist()
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     return sh
@@ -87,9 +121,7 @@ def minhash_signatures(
     """(doc_id, seed, minhash) — one row per (doc, hash seed); minhash =
     lexicographic min of md5(seed || ':' || shingle). Docs with fewer than
     ``shingle_n`` tokens produce no rows (no shingles)."""
-    sh = corpus.select(
-        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
-    ).distinct()
+    sh = _exploded_shingles(corpus, text_col, id_col, shingle_n).distinct()
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     return (
         sh.select(id_col, "shingle", seeds)
@@ -208,7 +240,11 @@ def minhash_near_dups(
         .union(cand.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    shc = sh.join(cand_docs, id_col, "left_semi")
+    # the capped candidate-doc shingle relation feeds THREE consumers
+    # (sizes, both join sides) — without the persist the tokenize + explode
+    # + hot-shingle-cap pipeline re-executes per consumer (measured 1.5× on
+    # the sf0.1 entry). Candidate-doc-sized, far below corpus size.
+    shc = sh.join(cand_docs, id_col, "left_semi").persist()
     # sizes over the candidate docs' FULL (capped) shingle sets — identical
     # denominators to the exact tier
     sizes = shc.groupBy(id_col).agg(F.count("*").alias("sz"))
