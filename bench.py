@@ -189,7 +189,49 @@ def accuracy_and_pruning(spark) -> dict:
         "bm25_map_at_10": bm25_map,
         "recall_at_10": recall,
         "map_at_10": maps,
+        # the sf embeddings fixture is near-Gaussian noise — there recall of
+        # ANY bucketed method ≈ probed fraction by information-theoretic
+        # necessity (BASELINE.md); this line measures the structured regime
+        # the bucketed tiers are FOR (reference's >0.9 bound runs on
+        # structured datasets, TestVectorGraph.java:626-673)
+        "recall_at_10_clustered": clustered_recall(spark),
     }
+
+
+def clustered_recall(spark) -> dict:
+    """IVF recall@10 on deterministic planted-cluster data at a
+    non-full-probe operating point (20 clusters, probe 4 = 20% scan)."""
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((20, 32)) * 3.0
+    X = np.vstack([c + rng.standard_normal((250, 32)) * 0.3 for c in centers])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    d = tempfile.mkdtemp(prefix="jv_ivf_clustered_")
+    ivf_build(emb, d, n_clusters=20, n_iters=8, seed=77)
+    recalls = []
+    for qid in (0, 400, 1777, 3500, 4999):
+        qv = [float(x) for x in X[qid]]
+        base = emb.filter(F.col("vec_id") != qid)
+        want = {r.vec_id for r in cosine_topk(base, qv, k=10).collect()}
+        got = {
+            r.vec_id
+            for r in ivf_topk_indexed(spark, d, base, qv, k=10, n_probe=4).collect()
+        }
+        recalls.append(len(want & got) / 10)
+    emb.unpersist()
+    shutil.rmtree(d, ignore_errors=True)
+    return {"ann_topk_ivf_probe4of20": round(sum(recalls) / len(recalls), 3)}
 
 
 def sq8_compression(spark) -> dict:
