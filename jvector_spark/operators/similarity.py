@@ -49,12 +49,25 @@ def cosine_scores(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, cos) for every row — exact, codegen'd, no UDF."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
-    return embeddings.select(
-        F.col(id_col),
-        (_dot(F.col(vec_col), q) / (F.lit(qn) * _norm(F.col(vec_col)))).alias("cos"),
+    """(vec_id, cos) for every row — exact; one float64 matrix-vector
+    product per Arrow batch (the bulk-scoring shape of the reference's
+    fused kernels, surveyed Q14). The Catalyst higher-order fold this
+    replaces is interpreted per element (~0.4 ms/row at dim 64) — 100×
+    off the hardware for a brute-force ground-truth scan."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cos = (X @ q) / (qn * np.linalg.norm(X, axis=1))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cos": cos})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} {id_type}, cos double"
     )
 
 
