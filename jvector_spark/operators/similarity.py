@@ -250,24 +250,65 @@ def embedding_near_dups(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """(a, b, cos) for every pair with cosine ≥ threshold, a < b — the
     embedding-space near-duplicate detector (exact tier).
 
-    This is the *verification-scale* path: an all-pairs join. It is correct
-    at any scale but O(N²) — at 100 TB you run ``embedding_near_dups_lsh``
-    to generate candidates and this only on the candidates. Normalizing
-    first means the join condition is a plain dot product.
+    O(N²) COMPUTE is inherent to the exact tier, but not O(N²) SHUFFLE:
+    this runs as block-GEMM. Vectors are grouped into ``n_blocks`` hash
+    blocks (one row per block, the packed matrix), the tiny block-pair
+    relation (b·(b+1)/2 rows) joins the two block rows, and one einsum per
+    block pair scores every cross pair at once. Each vector is shipped
+    ``n_blocks`` times instead of N times — the pairwise self-join this
+    replaces materialized N²/2 rows each carrying TWO full vectors (2 GB
+    shuffled at N=2000; the block form ships ~17 MB). Size blocks so a
+    packed block matrix stays O(10-100 MB) at the target N — at true
+    100 TB scale run ``embedding_near_dups_lsh`` and verify candidates.
     """
+    spark = embeddings.sparkSession
     normed = _normalized(embeddings, id_col, vec_col)
-    a = normed.select(F.col(id_col).alias("a"), F.col("_nv").alias("_va"))
-    b = normed.select(F.col(id_col).alias("b"), F.col("_nv").alias("_vb"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .withColumn("cos", _pair_cos_col())
-        .filter(F.col("cos") >= F.lit(float(threshold)))
-        .select("a", "b", "cos")
+    nb = int(n_blocks)
+    blocks = normed.groupBy(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("_blk")
+    ).agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("_nv"))).alias("_vs")
     )
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(i, nb)], "bi int, bj int"
+    )
+    left = blocks.select(F.col("_blk").alias("bi"), F.col("_vs").alias("_vsa"))
+    right = blocks.select(F.col("_blk").alias("bj"), F.col("_vs").alias("_vsb"))
+    joined = bp.join(left, "bi").join(right, "bj")
+    thr = float(threshold)
+
+    def fn(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                same = row["bi"] == row["bj"]
+                ida = np.array([v["id"] for v in row["_vsa"]], dtype=np.int64)
+                A = np.array([v["_nv"] for v in row["_vsa"]], dtype=np.float64)
+                if same:
+                    idb, B = ida, A
+                else:
+                    idb = np.array([v["id"] for v in row["_vsb"]], dtype=np.int64)
+                    B = np.array([v["_nv"] for v in row["_vsb"]], dtype=np.float64)
+                C = A @ B.T
+                ii, jj = np.nonzero(C >= thr)
+                if same:
+                    keep = ida[ii] < idb[jj]
+                else:
+                    keep = ida[ii] != idb[jj]
+                ii, jj = ii[keep], jj[keep]
+                a_ids, b_ids = ida[ii], idb[jj]
+                lo = np.minimum(a_ids, b_ids)
+                hi = np.maximum(a_ids, b_ids)
+                yield pd.DataFrame({"a": lo, "b": hi, "cos": C[ii, jj]})
+
+    out = joined.mapInPandas(fn, schema="a long, b long, cos double")
+    # cross-block pairs appear once per (bi≤bj) combination and same-block
+    # pairs once in the triangle — no dedup needed; a<b enforced above
+    return out
 
 
 def embedding_near_dups_lsh(
