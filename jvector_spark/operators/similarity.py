@@ -329,11 +329,14 @@ def embedding_near_dups_lsh(
     Plan shape (the same candidates-only discipline as minhash_near_dups):
     the exploded (id, band, bucket) relation is narrow ints; candidates
     come from a per-band equi-join (shuffle on short keys, never a cross
-    join) + distinct; vectors are then shipped ONLY for docs appearing in
-    some candidate pair (semi-join) and exact cosine verifies candidate
-    pairs only. Reference analog: approx-then-rerank search
-    (GraphSearcher.java:451-487) with the overquery knob (Bench.java:47-52)
-    played by ``bands``."""
+    join) + distinct. Verification is the blocked-gather kernel: candidate
+    pairs are grouped by their (hash-block(a), hash-block(b)) cell, the two
+    packed block matrices join in (one row each), and one einsum per cell
+    scores exactly the candidate pairs — each pair ships once as two longs
+    and each vector at most ``n_blocks`` times, instead of every pair
+    carrying two full vectors through two shuffle joins. Reference analog:
+    approx-then-rerank search (GraphSearcher.java:451-487) with the
+    overquery knob (Bench.java:47-52) played by ``bands``."""
     # dim from one row (driver-side peek is O(1))
     first = embeddings.select(vec_col).head()
     if first is None:
@@ -365,15 +368,44 @@ def embedding_near_dups_lsh(
         .distinct()
     )
     nv_cand = normed.join(cand_docs, id_col, "left_semi")
-    va = nv_cand.select(F.col(id_col).alias("a"), F.col("_nv").alias("_va"))
-    vb = nv_cand.select(F.col(id_col).alias("b"), F.col("_nv").alias("_vb"))
-    return (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .withColumn("cos", _pair_cos_col())
-        .filter(F.col("cos") >= F.lit(float(threshold)))
-        .select("a", "b", "cos")
+    nb = 16
+    blk = lambda c: F.pmod(F.xxhash64(c), F.lit(nb)).cast("int")  # noqa: E731
+    blocks = nv_cand.groupBy(blk(F.col(id_col)).alias("_blk")).agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("_nv"))).alias("_vs")
     )
+    cells = cand.groupBy(
+        blk(F.col("a")).alias("ba"), blk(F.col("b")).alias("bb")
+    ).agg(F.collect_list(F.struct("a", "b")).alias("_ps"))
+    joined = (
+        cells.join(blocks.select(F.col("_blk").alias("ba"), F.col("_vs").alias("_vsa")), "ba")
+        .join(blocks.select(F.col("_blk").alias("bb"), F.col("_vs").alias("_vsb")), "bb")
+    )
+    thr = float(threshold)
+
+    def fn(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                pos_a = {v["id"]: i for i, v in enumerate(row["_vsa"])}
+                pos_b = {v["id"]: i for i, v in enumerate(row["_vsb"])}
+                A = np.array([v["_nv"] for v in row["_vsa"]], dtype=np.float64)
+                B = np.array([v["_nv"] for v in row["_vsb"]], dtype=np.float64)
+                pa = np.fromiter((pos_a[p["a"]] for p in row["_ps"]), dtype=np.int64)
+                pb = np.fromiter((pos_b[p["b"]] for p in row["_ps"]), dtype=np.int64)
+                cos = np.einsum("ij,ij->i", A[pa], B[pb])
+                keep = cos >= thr
+                yield pd.DataFrame(
+                    {
+                        "a": np.fromiter(
+                            (p["a"] for p in row["_ps"]), dtype=np.int64
+                        )[keep],
+                        "b": np.fromiter(
+                            (p["b"] for p in row["_ps"]), dtype=np.int64
+                        )[keep],
+                        "cos": cos[keep],
+                    }
+                )
+
+    return joined.mapInPandas(fn, schema="a long, b long, cos double")
 
 
 # ---------------------------------------------------------------------------
