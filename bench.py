@@ -395,6 +395,41 @@ def transcripts_job(
     }
 
 
+def streaming_ingest(spark, workdir: str) -> dict:
+    """Incremental streaming-ingest throughput: waves of new source files
+    land in the directory; each ``availableNow`` run drains only the new
+    files via the checkpoint (wave 1 creates the index, later waves are
+    ``extend_index`` deltas with pending/complete lineage). Reported as
+    turns/s across all waves — the microbatch analog of the reference's
+    buildAndMergeNewNodes incremental path (surveyed B10)."""
+    from jvector_spark.fixtures import make_transcripts_distributed
+    from jvector_spark.index.storage import read_table
+    from jvector_spark.streaming import stream_index_transcripts
+
+    src = os.path.join(workdir, "stream_src")
+    idx = os.path.join(workdir, "stream_idx")
+    ckpt = os.path.join(workdir, "stream_ckpt")
+    for d in (src, idx, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    waves, per = 3, 60000
+    wave_secs = []
+    for w in range(waves):
+        make_transcripts_distributed(
+            spark, per, n_partitions=8, seed=100 + w
+        ).write.mode("append").parquet(src)
+        t0 = time.perf_counter()
+        stream_index_transcripts(spark, src, idx, ckpt, n_parts=4)
+        wave_secs.append(round(time.perf_counter() - t0, 3))
+    n = read_table(spark, idx, "doc_stats").count()
+    return {
+        "waves": waves,
+        "turns": waves * per,
+        "indexed_docs": int(n),
+        "wave_secs": wave_secs,
+        "turns_per_sec": round(waves * per / sum(wave_secs), 1),
+    }
+
+
 def _shard_job_main(
     shard_idx: int, n_shards: int, cores: int, src: str, workdir: str, offset: int
 ) -> None:
@@ -637,6 +672,8 @@ def main() -> None:
         "phrase_indexed_sec": round(t_idx, 3),
         "indexed_speedup": round(t_brute / max(t_idx, 1e-9), 2),
     }
+
+    result["streaming"] = streaming_ingest(spark, workdir)
 
     # the doc-partitioned (scatter-gather) engine over the same corpus and
     # query set — the serving-QPS architecture (SURVEY Q10 merge shape)
