@@ -196,3 +196,65 @@ def test_phrase_count_matches_python(spark, corpus, transcripts_pdf):
         if c:
             want[i] = c
     assert got == want and len(want) > 0
+
+
+def test_blocked_exact_pairs_match_numpy_oracle(spark):
+    """The block-GEMM exact tier must equal a naive numpy all-pairs oracle
+    for every (N, n_blocks, threshold) combination — including n_blocks
+    exceeding N (empty cells) and a threshold passed by no pair."""
+    import numpy as np
+
+    from jvector_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.default_rng(17)
+    for n, nb, thr in ((1, 4, 0.0), (7, 16, 0.2), (60, 4, 0.35), (60, 128, 0.99999)):
+        X = rng.standard_normal((n, 8))
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            (r.a, r.b, round(r.cos, 9))
+            for r in embedding_near_dups(emb, thr, n_blocks=nb).collect()
+        }
+        Xf = X.astype(np.float32).astype(np.float64)  # array<float> round-trip
+        Nn = Xf / np.linalg.norm(Xf, axis=1, keepdims=True)
+        C = Nn @ Nn.T
+        want = {
+            (a, b, round(float(C[a, b]), 9))
+            for a in range(n)
+            for b in range(a + 1, n)
+            if C[a, b] >= thr
+        }
+        assert got == want, (n, nb, thr)
+
+
+def test_band_keys_kernel_matches_query_side(spark):
+    """The Arrow band-key kernel and the driver-side numpy computation in
+    cosine_topk_lsh must agree bit-for-bit for every vector."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.similarity import _band_keys_col, _hyperplanes
+
+    bands, r, dim = 6, 4, 16
+    rng = np.random.default_rng(23)
+    X = rng.standard_normal((40, dim))
+    planes = _hyperplanes(dim, bands * r, seed=99)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r_.vec_id: list(r_.keys)
+        for r_ in emb.select(
+            "vec_id", _band_keys_col(F.col("embedding"), planes, bands, r).alias("keys")
+        ).collect()
+    }
+    for i in range(len(X)):
+        v = X[i].astype(np.float32).astype(np.float64)
+        want = [
+            sum(1 << b for b in range(r) if float(planes[j * r + b] @ v) > 0)
+            for j in range(bands)
+        ]
+        assert got[i] == want, i
