@@ -518,6 +518,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = ann_topk_sq8(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
         return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
 
+    def q_ann_topk_batch(spark, sf):
+        # batched ANN: top-10 for FIVE query vectors in one corpus scan
+        # (X @ Q.T GEMM per Arrow batch + bounded rank window) — the
+        # multi-query analog of the reference's parallel query stream
+        # (ThroughputBenchmark.java:188-236). Self-match ranks first by
+        # construction (cos 1.0) and the oracle mirrors that.
+        from jvector_spark.operators.similarity import cosine_topk_batch
+
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        t = cosine_topk_batch(emb, qs, k=10)
+        return t.select(
+            "query_id", "rank", "vec_id", _u6(F.col("cos")).alias("cos_u6")
+        )
+
     def q_scan_filter(spark, sf):
         li = _read(spark, sf, "lineitem")
         return li.filter(
@@ -623,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_sq8": q_ann_topk_sq8,
+        "ann_topk_batch": q_ann_topk_batch,
         "scan_filter": q_scan_filter,
         "group_agg": q_group_agg,
         "hash_join": q_hash_join,
@@ -986,6 +1004,21 @@ def oracle_sql() -> dict[str, str]:
         # oracle (the compressed-vs-exact equivalence the reference tests at
         # TestCompressedVectors.java:231)
         "ann_topk_sq8": _ANN_TOPK_SQL,
+        "ann_topk_batch": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_sum(list_transform(list_zip(e.embedding, q.qv), "
+            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / "
+            "(sqrt(list_sum(list_transform(e.embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "sqrt(list_sum(list_transform(q.qv, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos "
+            "FROM embeddings e CROSS JOIN q) "
+            "SELECT query_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id)::INT AS rank, "
+            "vec_id, " + _U6("cos") + " AS cos_u6 FROM s QUALIFY rank <= 10"
+        ),
         # ann_topk_lsh / ann_topk_ivf: approximate operators (hyperplanes /
         # k-means centroids live in numpy) — intentionally no SQL oracle
         # (driver records rows-only); full-probe == exact and recall floors

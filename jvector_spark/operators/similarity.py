@@ -95,6 +95,63 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cos): exact top-k for a TABLE of query
+    vectors in ONE corpus scan — the batch analog of :func:`cosine_topk`
+    and the embedding twin of the docpart BM25 batch (surveyed Q13: the
+    bounded query set ships inside the kernel closure; the corpus never
+    shuffles). Each Arrow batch computes one X @ Qᵀ GEMM and keeps its
+    LOCAL top-k per query, so the global rank window sees at most
+    partitions × queries × k rows. Ties break by ascending id (the
+    engine-wide determinism contract)."""
+    qrows = queries.select(qid_col, qvec_col).collect()  # query-batch-sized
+    if not qrows:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{qid_col} long, rank int, {id_col} long, cos double"
+        )
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    kk = int(k)
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            S = (X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+            )) @ Qn.T
+            parts = []
+            for j in range(len(qids)):
+                top = np.lexsort((ids, -S[:, j]))[:kk]
+                parts.append(
+                    pd.DataFrame(
+                        {qid_col: qids[j], id_col: ids[top], "cos": S[top, j]}
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{qid_col} long, {id_col} long, cos double"
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(qid_col, "rank", id_col, "cos")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

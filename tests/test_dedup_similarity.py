@@ -258,3 +258,27 @@ def test_band_keys_kernel_matches_query_side(spark):
             for j in range(bands)
         ]
         assert got[i] == want, i
+
+
+def test_cosine_topk_batch_equals_single_query(spark):
+    """The one-scan batched GEMM path must rank identically to per-query
+    cosine_topk for every query in the batch."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.similarity import cosine_topk, cosine_topk_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch = cosine_topk_batch(emb, qs, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, round(r.cos, 9)))
+    for qid in range(4):
+        qv = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+        want = [
+            (r.rank, r.vec_id, round(r.cos, 9))
+            for r in cosine_topk(emb, qv, k=10).collect()
+        ]
+        assert sorted(by_q[qid]) == want, qid
