@@ -535,6 +535,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "rank", "vec_id", _u6(F.col("cos")).alias("cos_u6")
         )
 
+    def q_ann_topk_sq8_batch(spark, sf):
+        # batch two-phase serving: ONE SQ8 compressed scan scores all five
+        # queries + exact rerank of per-query candidates — must be
+        # rank-identical to the exact batch scan (same oracle as
+        # ann_topk_batch; the fast-vs-slow equivalence idiom,
+        # TestCompressedVectors.java:231)
+        from jvector_spark.operators.similarity import ann_topk_sq8_batch
+
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        t = ann_topk_sq8_batch(emb, qs, k=10)
+        return t.select(
+            "query_id", "rank", "vec_id", _u6(F.col("cos")).alias("cos_u6")
+        )
+
     def q_scan_filter(spark, sf):
         li = _read(spark, sf, "lineitem")
         return li.filter(
@@ -641,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_sq8": q_ann_topk_sq8,
         "ann_topk_batch": q_ann_topk_batch,
+        "ann_topk_sq8_batch": q_ann_topk_sq8_batch,
         "scan_filter": q_scan_filter,
         "group_agg": q_group_agg,
         "hash_join": q_hash_join,
@@ -762,6 +780,23 @@ _ANN_TOPK_SQL = (
     "SELECT row_number() OVER (ORDER BY cos DESC, vec_id)::INT AS rank, vec_id, "
     + _U6("cos")
     + " AS cos_u6 FROM s QUALIFY rank <= 10"
+)
+
+
+_ANN_TOPK_BATCH_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+    "FROM embeddings WHERE vec_id < 5), "
+    "s AS (SELECT q.query_id, e.vec_id, "
+    "list_sum(list_transform(list_zip(e.embedding, q.qv), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(e.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(q.qv, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos "
+    "FROM embeddings e CROSS JOIN q) "
+    "SELECT query_id, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, vec_id)::INT AS rank, "
+    "vec_id, " + _U6("cos") + " AS cos_u6 FROM s QUALIFY rank <= 10"
 )
 
 
@@ -1004,21 +1039,9 @@ def oracle_sql() -> dict[str, str]:
         # oracle (the compressed-vs-exact equivalence the reference tests at
         # TestCompressedVectors.java:231)
         "ann_topk_sq8": _ANN_TOPK_SQL,
-        "ann_topk_batch": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
-            "FROM embeddings WHERE vec_id < 5), "
-            "s AS (SELECT q.query_id, e.vec_id, "
-            "list_sum(list_transform(list_zip(e.embedding, q.qv), "
-            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / "
-            "(sqrt(list_sum(list_transform(e.embedding, "
-            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
-            "sqrt(list_sum(list_transform(q.qv, "
-            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos "
-            "FROM embeddings e CROSS JOIN q) "
-            "SELECT query_id, row_number() OVER "
-            "(PARTITION BY query_id ORDER BY cos DESC, vec_id)::INT AS rank, "
-            "vec_id, " + _U6("cos") + " AS cos_u6 FROM s QUALIFY rank <= 10"
-        ),
+        "ann_topk_batch": _ANN_TOPK_BATCH_SQL,
+        # batch SQ8 two-phase must equal the exact batch scan — same oracle
+        "ann_topk_sq8_batch": _ANN_TOPK_BATCH_SQL,
         # ann_topk_lsh / ann_topk_ivf: approximate operators (hyperplanes /
         # k-means centroids live in numpy) — intentionally no SQL oracle
         # (driver records rows-only); full-probe == exact and recall floors

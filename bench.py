@@ -87,6 +87,7 @@ HEADLINE = [
     "ann_topk_ivf",
     "ann_topk_sq8",
     "ann_topk_batch",
+    "ann_topk_sq8_batch",
     "embedding_near_dups_lsh",
     "group_agg",
     "hash_join",

@@ -791,3 +791,108 @@ def ann_topk_sq8(
     )
     cand = embeddings.join(cand_ids, id_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ann_topk_sq8_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int | None = None,
+    codes: DataFrame | None = None,
+    params: tuple[np.ndarray, np.ndarray] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Two-phase BATCH serving: one SQ8 compressed scan scores ALL queries
+    (dequant + one GEMM per Arrow batch, reading 1 byte/dim), a bounded
+    window keeps ``rerank`` candidates PER QUERY, and the exact float
+    rerank touches only the candidate union. The batch shape of
+    :func:`ann_topk_sq8` — with the default margin the output is
+    rank-identical to :func:`cosine_topk_batch` (same oracle in the
+    driver contract). At scale: persist ``sq8_encode`` output once; the
+    per-query-batch cost is one compressed scan regardless of the number
+    of queries in the batch."""
+    if rerank is None:
+        rerank = max(64, SQ8_RERANK_FACTOR * k)
+    if params is None:
+        params = sq8_train(embeddings, vec_col)
+    mn, scale = params
+    if codes is None:
+        codes = sq8_encode(embeddings, mn, scale, id_col, vec_col)
+    qrows = queries.select(qid_col, qvec_col).collect()  # query-batch-sized
+    if not qrows:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{qid_col} long, rank int, {id_col} long, cos double"
+        )
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    mn_ = np.ascontiguousarray(mn)
+    sc_ = np.ascontiguousarray(scale)
+    dim = Q.shape[1]
+    rr = int(rerank)
+
+    def approx_fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            buf = b"".join(pdf["codes"])
+            Q8 = np.frombuffer(buf, dtype=np.uint8).reshape(len(pdf), dim)
+            X = Q8.astype(np.float64) * sc_ + mn_
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            S = Xn @ Qn.T
+            ids = pdf[id_col].to_numpy()
+            parts = []
+            for j in range(len(qids)):
+                top = np.lexsort((ids, -S[:, j]))[:rr]
+                parts.append(
+                    pd.DataFrame(
+                        {qid_col: qids[j], id_col: ids[top], "approx": S[top, j]}
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    partial = codes.mapInPandas(
+        approx_fn, schema=f"{qid_col} long, {id_col} long, approx double"
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("approx"), F.asc(id_col))
+    cand = (
+        partial.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rr)
+        .select(qid_col, id_col)
+    )
+    # exact rerank over the candidate union: one gather join ships each
+    # candidate vector once; the kernel scores row i against its own
+    # query's vector (closure-shipped Qn, gathered by query_id)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    joined = cand.join(embeddings.select(id_col, vec_col), id_col)
+
+    def rerank_fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            qi = np.fromiter(
+                (qpos[int(q)] for q in pdf[qid_col]), dtype=np.int64
+            )
+            cos = np.einsum("ij,ij->i", Xn, Qn[qi])
+            yield pd.DataFrame(
+                {
+                    qid_col: pdf[qid_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
+                    "cos": cos,
+                }
+            )
+
+    exact = joined.mapInPandas(
+        rerank_fn, schema=f"{qid_col} long, {id_col} long, cos double"
+    )
+    w2 = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= int(k))
+        .select(qid_col, "rank", id_col, "cos")
+    )

@@ -282,3 +282,33 @@ def test_cosine_topk_batch_equals_single_query(spark):
             for r in cosine_topk(emb, qv, k=10).collect()
         ]
         assert sorted(by_q[qid]) == want, qid
+
+
+def test_ann_sq8_batch_equals_exact_batch(spark):
+    """Batch two-phase (compressed scan + rerank) must be rank-identical to
+    the exact batch scan at the default margin — the batch form of the
+    compressed-vs-exact equivalence (TestCompressedVectors.java:231)."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.similarity import (
+        ann_topk_sq8_batch,
+        cosine_topk_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    want = [
+        (r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+        for r in cosine_topk_batch(emb, qs, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    got = [
+        (r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+        for r in ann_topk_sq8_batch(emb, qs, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want
