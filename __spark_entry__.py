@@ -348,7 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return p.select("a", "b", _u6(F.col("jaccard")).alias("jaccard_u6"))
 
     def q_jaccard_pairs(spark, sf):
-        p = jaccard_pairs(_docs(spark, sf), threshold=0.5)
+        # cap applied explicitly by the caller (the operator's default is
+        # uncapped TRUE Jaccard); the oracle's _SHC CTE mirrors this cap
+        p = jaccard_pairs(_docs(spark, sf), threshold=0.5, max_shingle_df=256)
         return p.select("a", "b", _u6(F.col("jaccard")).alias("jaccard_u6"))
 
     def q_dedup_groups(spark, sf):

@@ -391,6 +391,20 @@ def phrase_count_indexed(
         t = pdf["term_id"].to_numpy(np.int64)
         d = pdf["doc_id"].to_numpy(np.int64)
         p = pdf["pos"].to_numpy(np.int64)
+        # pack-width guard: position bits must not bleed into doc bits —
+        # a silent overflow would return WRONG phrase counts, so fail loudly
+        # (a >2M-token doc wants the brute-force join path instead)
+        if len(p) and int(p.max()) + n_slots >= (1 << POS_BITS):
+            raise ValueError(
+                f"phrase kernel overflow: max position {int(p.max())} + "
+                f"{n_slots} slots >= 2^{POS_BITS}; split the doc or use "
+                "the brute-force phrase path"
+            )
+        if len(d) and int(d.max()) >= (1 << (63 - POS_BITS)):
+            raise ValueError(
+                f"phrase kernel overflow: doc_id {int(d.max())} >= "
+                f"2^{63 - POS_BITS}"
+            )
         cur = None
         for i, tid in enumerate(slot_tids):
             m = t == tid

@@ -141,9 +141,13 @@ def _prepared_query_blocks(
         .select("query_id", "term_id", "weight", "idf", "n_salts")
         .collect()
     )
+    # re-emitted schema derives query_id's type from the caller's relation
+    # (long/string query ids must round-trip unchanged); weight is coerced
+    # to double so integer weights survive type verification
+    qid_type = dict(qterms.dtypes).get("query_id", "int")
     qd = spark.createDataFrame(
-        [(r.query_id, r.term_id, r.weight, r.idf) for r in qd_rows],
-        "query_id int, term_id long, weight double, idf double",
+        [(r.query_id, r.term_id, float(r.weight), float(r.idf)) for r in qd_rows],
+        f"query_id {qid_type}, term_id long, weight double, idf double",
     )
     # which hive buckets hold these terms? tiny local relation → xxhash64 is
     # JVM-side, so resolve part ids via a throwaway local-relation expression

@@ -29,11 +29,25 @@ from ..functions.analysis import tokens_col
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows per band = num_hashes // bands
-# default hot-shingle cap for exact-Jaccard verification: a shingle shared
-# by more than this many docs is a stop-shingle — it contributes pair
-# candidates quadratically while carrying almost no similarity signal.
-# The dedup analog of hot-term salting; callers pass None to disable.
+# hot-shingle cap for the LSH verify tier: a shingle shared by more than
+# this many docs is a stop-shingle — it contributes pair candidates
+# quadratically while carrying almost no similarity signal. The dedup
+# analog of hot-term salting. NOT the default for the exact tier
+# (``jaccard_pairs``): capped-set Jaccard diverges from true Jaccard, so
+# the exact tier stays exact unless the caller opts in.
 DEFAULT_MAX_SHINGLE_DF = 256
+
+
+def _materialize_and_release(result: DataFrame, pins: list[DataFrame]) -> DataFrame:
+    """Persist + eagerly materialize the (pair-sized) result, then release
+    every intermediate pin. The returned frame is the ONE remaining pin —
+    callers looping dedup in a long-lived session release it with
+    ``.unpersist()`` (pinned-RDD hygiene is tested in test_plan_audit)."""
+    result = result.persist()
+    result.count()
+    for p in pins:
+        p.unpersist()
+    return result
 
 
 def _exploded_shingles(
@@ -70,9 +84,12 @@ def _shingle_relation(
     id_col: str,
     shingle_n: int,
     max_shingle_df: int | None,
-) -> DataFrame:
-    """(id, shingle) distinct relation, hot shingles dropped per the cap."""
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(id, shingle) distinct relation, hot shingles dropped per the cap.
+    Returns (relation, pins) — pins the caller must release after its own
+    last materializing action."""
     sh = _exploded_shingles(corpus, text_col, id_col, shingle_n).distinct()
+    pins: list[DataFrame] = []
     if max_shingle_df is not None:
         # the relation feeds BOTH the df-count aggregate and the anti-join
         # (plus the caller's consumers) — persist so the tokenize/explode/
@@ -82,9 +99,10 @@ def _shingle_relation(
         # combines map-side and ships only the (tiny) hot list. At cluster
         # scale swap the persist for a staging-table write (DISK_ONLY).
         sh = sh.persist()
+        pins.append(sh)
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    return sh
+    return sh, pins
 
 
 def exact_dedup(corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -176,16 +194,24 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for doc pairs with shingle-set Jaccard ≥ threshold,
     a < b. Pairs are generated through an inverted shingle index (docs must
     share ≥1 shingle), with |A| and |B| precomputed so the union is derived
     from the intersection count — no per-pair set materialization. This is
-    the *explicit exact tier*: near-quadratic on pathological corpora even
-    with the hot-shingle cap — at scale run ``minhash_near_dups``, whose
-    verification touches candidate pairs only."""
-    sh = _shingle_relation(corpus, text_col, id_col, shingle_n, max_shingle_df)
+    the *explicit exact tier*: TRUE Jaccard by default (``max_shingle_df``
+    is opt-in — a cap silently shifts both intersection and set sizes to
+    capped-set semantics). Near-quadratic on pathological corpora — at
+    scale run ``minhash_near_dups``, whose verification touches candidate
+    pairs only. Eager: the pair-sized result is persisted/materialized and
+    intermediate pins released; call ``.unpersist()`` on it when done."""
+    sh, pins = _shingle_relation(corpus, text_col, id_col, shingle_n, max_shingle_df)
+    if not pins:
+        # no cap → _shingle_relation didn't pin; persist here, the relation
+        # feeds three consumers (sizes + both join sides)
+        sh = sh.persist()
+        pins = [sh]
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -195,13 +221,14 @@ def jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").cast("double").alias("inter"))
     )
-    return (
+    res = (
         inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    return _materialize_and_release(res, pins)
 
 
 def minhash_near_dups(
@@ -226,15 +253,18 @@ def minhash_near_dups(
     candidate set BEFORE the intersection aggregate. No unrestricted
     shingle self-join exists anywhere in the plan (plan-audit-tested) —
     at 10^12 docs the exact-Jaccard work is O(candidates), not
-    O(shingle-cooccurrence)."""
+    O(shingle-cooccurrence).
+
+    Eager: the pair-sized result is persisted/materialized and every
+    intermediate pin (candidates, shingle relations) released before
+    returning; call ``.unpersist()`` on the result when done."""
     sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n)
     # materialize the candidate set once: it feeds the doc restriction AND
     # the pair semi-join — without the persist the signature+banding
     # pipeline re-executes per consumer (measured 1.5× wall on the contract
-    # entry). Pair-sized, far below corpus size; stays cached for the
-    # returned frame's lazy consumers.
+    # entry). Pair-sized, far below corpus size.
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist()
-    sh = _shingle_relation(corpus, text_col, id_col, shingle_n, max_shingle_df)
+    sh, pins = _shingle_relation(corpus, text_col, id_col, shingle_n, max_shingle_df)
     cand_docs = (
         cand.select(F.col("a").alias(id_col))
         .union(cand.select(F.col("b").alias(id_col)))
@@ -257,13 +287,14 @@ def minhash_near_dups(
         .groupBy("a", "b")
         .agg(F.count("*").cast("double").alias("inter"))
     )
-    return (
+    res = (
         inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    return _materialize_and_release(res, pins + [cand, shc])
 
 
 def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
@@ -316,15 +347,17 @@ def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         if cur == prev:
             break
         prev = cur
-    # the final labels stay persisted: the returned frame is consumed lazily
-    # by the caller and unpersisting here would replay the whole fixpoint
-    # chain on first use; callers doing many component runs in one session
-    # should `.unpersist()` the returned frame's source via spark.catalog
-    # (or collect it — it is pair-participant-sized, far below corpus size)
-    return labels.select(
+    # materialize the (pair-participant-sized) output, then release every
+    # intermediate pin — the returned frame is the ONE remaining pin and
+    # `.unpersist()` on it releases everything (hygiene-tested).
+    out = labels.select(
         F.col("n").cast("long").alias("doc_id"),
         F.col("lbl").cast("long").alias("rep_id"),
-    )
+    ).persist()
+    out.count()
+    labels.unpersist()
+    und.unpersist()
+    return out
 
 
 def simhash(

@@ -76,7 +76,16 @@ def _batch_states(spark: SparkSession, index_dir: str) -> tuple[set[int], set[in
     path = os.path.join(index_dir, "stream_lineage")
     if not os.path.exists(path):
         return set(), set()
-    rows = spark.read.parquet(path).collect()
+    # mergeSchema: a lineage dir written by the pre-status 4-column format
+    # (or a mix of old and new files) must not have its schema sampled from
+    # one file; rows lacking a status column are treated as committed —
+    # the old format only ever wrote a row AFTER a successful extend.
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if "status" not in df.columns:
+        df = df.withColumn("status", F.lit("complete"))
+    rows = df.select(
+        "batch_id", F.coalesce("status", F.lit("complete")).alias("status")
+    ).collect()
     complete = {r.batch_id for r in rows if r.status == "complete"}
     pending = {r.batch_id for r in rows if r.status == "pending"} - complete
     return complete, pending

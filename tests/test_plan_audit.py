@@ -120,6 +120,33 @@ def test_no_pinned_rdds_after_query_batch(spark, entry_mod):
     )
 
 
+def test_no_pinned_rdds_after_dedup_operators(spark, entry_mod):
+    """The pair-generating dedup operators materialize eagerly and release
+    their intermediate pins; the returned (persisted) frame is the ONE
+    remaining pin and `.unpersist()` on it restores the baseline — so a
+    long-lived session looping dedup accumulates nothing (round-2 ADVICE)."""
+    from jvector_spark.operators.dedup import (
+        dedup_components,
+        jaccard_pairs,
+        minhash_near_dups,
+    )
+
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    docs = entry_mod._docs(spark, SF_DIR)
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    comps = dedup_components(pairs)
+    jac = jaccard_pairs(docs, threshold=0.5)
+    mid = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert mid == baseline + 3, f"expected exactly 3 result pins, got {mid - baseline}"
+    comps.count()  # results stay usable from cache before release
+    for df in (pairs, comps, jac):
+        df.unpersist()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == baseline, (
+        f"{after - baseline} RDD(s) still pinned after dedup release"
+    )
+
+
 def test_wand_scan_skips_packed_columns_for_meta(spark, entry_mod):
     """block_meta reads must not drag the packed binary columns off disk —
     the fused-feature layout only pays for what pruning touches."""
