@@ -180,7 +180,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# brute-force twins kept out of the driver contract (their oracle would
+# duplicate the indexed sibling's row); still built + plan-audited via
+# ``audit_queries`` and brute≡indexed is pytest-enforced.
+_AUDIT_ONLY = frozenset(
+    {"tfidf_topk", "boolean_and", "boolean_or", "filter_topk", "phrase_count3"}
+)
+
+
+def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from jvector_spark.functions.analysis import (
         fingerprint_col,
         lang_id_col,
@@ -498,14 +506,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF probe path against the PERSISTED index (assignments hive-
         # partitioned by cluster → probes prune directories): rows-only
         # check — approximate by construction; full-probe == exact and
-        # recall floors are pytest-enforced (tests/test_ivf.py)
+        # recall floors are pytest-enforced (tests/test_ivf.py).
+        # Probe-ADAPTIVE operating point: clusters are probed until their
+        # assignment mass covers ≥0.9 of the corpus, the honest recall
+        # floor on ANY data (on near-uniform fixtures recall ≈ scan
+        # fraction — information-theoretic); recall ≥0.9 at exactly this
+        # operating point is pytest-enforced on this fixture.
         emb = _read(spark, sf, "embeddings")
         qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         base = emb.filter(F.col("vec_id") != 0)
         idx = _ivf_index_for(spark, sf)
         from jvector_spark.operators.similarity import ivf_topk_indexed
 
-        t = ivf_topk_indexed(spark, idx, base, list(qv), k=10, n_probe=6)
+        t = ivf_topk_indexed(
+            spark, idx, base, list(qv), k=10, n_probe=None, target_recall=0.9
+        )
         return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
 
     def q_ann_topk_sq8(spark, sf):
@@ -518,6 +533,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf, "embeddings")
         qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         t = ann_topk_sq8(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
+        return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
+
+    def q_ann_topk_pq(spark, sf):
+        # two-phase PQ compressed scan (m = dim/8 → 32× compression, the
+        # reference's README.md:166-170 headline) + exact rerank — must be
+        # IDENTICAL to the exact scan (same oracle as ann_topk): ADC
+        # table-lookup scoring grafted from PQVectors.java:208-279
+        from jvector_spark.operators.pq import ann_topk_pq
+
+        emb = _read(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        t = ann_topk_pq(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
         return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
 
     def q_ann_topk_batch(spark, sf):
@@ -612,6 +639,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).agg(F.count("*").alias("n"), _cents(F.sum("value")).alias("value_c"))
         )
 
+    # CONTRACT SIZE POLICY: the driver's correctness pass checks at most 50
+    # entries — the registry stays ≤50 BY CONSTRUCTION (asserted below) so
+    # every registered operator gets oracle-checked every round. Brute-force
+    # twins whose oracle duplicates their indexed sibling's
+    # (boolean_and/or, filter_topk, tfidf_topk, phrase_count3) are audit
+    # entries instead (``audit_queries``), with brute≡indexed equivalence
+    # pytest-enforced (tests/test_index.py, tests/test_positions.py).
     return {
         "doc_ids": q_doc_ids,
         "tokenize": q_tokenize,
@@ -659,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_sq8": q_ann_topk_sq8,
+        "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_batch": q_ann_topk_batch,
         "ann_topk_sq8_batch": q_ann_topk_sq8_batch,
         "scan_filter": q_scan_filter,
@@ -668,6 +703,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit": q_sort_limit,
         "events_window_agg": q_events_window_agg,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = {k: v for k, v in _build_queries().items() if k not in _AUDIT_ONLY}
+    assert len(out) <= 50, f"driver checks only 50 entries; {len(out)} registered"
+    return out
+
+
+def audit_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Contract entries PLUS the audit-only brute-force twins — used by the
+    plan-audit tests so trimming the driver contract to ≤50 never drops a
+    code path from the no-row-Python/pushdown audits."""
+    return _build_queries()
 
 
 # ---------------------------------------------------------------------------
@@ -898,22 +946,12 @@ def oracle_sql() -> dict[str, str]:
             f"doc_id, {u6('score')} AS score_u6 FROM scores "
             "QUALIFY rank <= 10"
         ),
-        "tfidf_topk": tfidf_sql,
         "tfidf_topk_indexed": tfidf_sql,
         "postings_decode": (
             f"WITH {_TOKS}, {_TOK}, {_TF}, "
             "dict AS (SELECT term, (row_number() OVER (ORDER BY term) - 1)::BIGINT AS term_id "
             "FROM (SELECT DISTINCT term FROM tf)) "
             "SELECT dict.term_id, tf.doc_id, tf.tf FROM tf JOIN dict USING (term)"
-        ),
-        "boolean_and": (
-            f"WITH {_TOKS}, {_TOK} SELECT doc_id FROM tok "
-            f"WHERE term IN ('{BOOL_TERMS[0]}','{BOOL_TERMS[1]}') "
-            "GROUP BY doc_id HAVING count(DISTINCT term) = 2"
-        ),
-        "boolean_or": (
-            f"WITH {_TOKS}, {_TOK} SELECT DISTINCT doc_id FROM tok "
-            f"WHERE term IN ('{BOOL_TERMS[0]}','{BOOL_TERMS[1]}')"
         ),
         "boolean_and_indexed": (
             f"WITH {_TOKS}, {_TOK} SELECT doc_id FROM tok "
@@ -923,13 +961,6 @@ def oracle_sql() -> dict[str, str]:
         "boolean_or_indexed": (
             f"WITH {_TOKS}, {_TOK} SELECT DISTINCT doc_id FROM tok "
             f"WHERE term IN ('{BOOL_TERMS[0]}','{BOOL_TERMS[1]}')"
-        ),
-        "filter_topk": (
-            f"{_BM25_CTE}, filtered AS (SELECT s.* FROM scores s "
-            "JOIN documents d USING (doc_id) WHERE d.lang = 'en') "
-            "SELECT query_id, "
-            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank, "
-            f"doc_id, {u6('score')} AS score_u6 FROM filtered QUALIFY rank <= 10"
         ),
         "filter_topk_indexed": (
             f"{_BM25_CTE}, filtered AS (SELECT s.* FROM scores s "
@@ -944,7 +975,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "phrase_count": _phrase_sql(PHRASE),
         "phrase_count_indexed": _phrase_sql(PHRASE),
-        "phrase_count3": _phrase_sql(PHRASE3),
         "phrase_count3_indexed": _phrase_sql(PHRASE3),
         "token_positions": (
             f"WITH {_TOKS}, "
@@ -1041,6 +1071,9 @@ def oracle_sql() -> dict[str, str]:
         # oracle (the compressed-vs-exact equivalence the reference tests at
         # TestCompressedVectors.java:231)
         "ann_topk_sq8": _ANN_TOPK_SQL,
+        # PQ two-phase path must equal the exact scan bit-for-bit — same
+        # oracle (ADC first pass + exact rerank, the 32x tier)
+        "ann_topk_pq": _ANN_TOPK_SQL,
         "ann_topk_batch": _ANN_TOPK_BATCH_SQL,
         # batch SQ8 two-phase must equal the exact batch scan — same oracle
         "ann_topk_sq8_batch": _ANN_TOPK_BATCH_SQL,

@@ -667,21 +667,46 @@ def ivf_topk_indexed(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_probe: int = 4,
+    n_probe: int | None = 4,
+    target_recall: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe-limited top-k against a persisted IVF index: the assignments
     scan carries a ``cluster IN (probes)`` partition filter, so only the
     probed hive directories are read (the analog of jvector seeking only
-    the graph neighborhoods a search visits)."""
+    the graph neighborhoods a search visits).
+
+    ``n_probe=None`` → probe-ADAPTIVE: probe the nearest clusters (by
+    centroid score) until their cumulative assignment mass covers
+    ``target_recall`` of the corpus. On worst-case (near-uniform) data
+    expected recall ≈ probed fraction — information-theoretic, not an
+    index defect — so mass-coverage is the honest guarantee knob: it
+    over-probes benignly on clustered data (where a few clusters already
+    hold the neighbors) and delivers the floor on noise. Cluster sizes
+    come from the parquet-partition row counts (k-row aggregate)."""
     import os
 
     C = ivf_read_centroids(spark, index_dir)
     q = np.asarray(query_vec, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
-    probes = [int(c) for c in np.argsort(-(C @ q), kind="stable")[: int(n_probe)]]
+    order = np.argsort(-(C @ q), kind="stable")
     assignments = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    if n_probe is None:
+        sizes = {
+            int(r.cluster): int(r.n)
+            for r in assignments.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+        }
+        total = max(1, sum(sizes.values()))
+        need = float(target_recall) * total
+        probes, acc = [], 0
+        for c in order:
+            probes.append(int(c))
+            acc += sizes.get(int(c), 0)
+            if acc >= need:
+                break
+    else:
+        probes = [int(c) for c in order[: int(n_probe)]]
     cand_ids = assignments.filter(F.col("cluster").isin(probes)).select(id_col)
     cand = embeddings.join(cand_ids, id_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)

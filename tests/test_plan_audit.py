@@ -29,7 +29,7 @@ CHEAP_KEYS = [
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "media_meta", "media_features", "frame_sample", "embedding_near_dups",
     "embedding_near_dups_lsh", "ann_topk", "ann_topk_lsh", "ann_topk_sq8",
-    "ann_topk_batch", "ann_topk_sq8_batch",
+    "ann_topk_pq", "ann_topk_batch", "ann_topk_sq8_batch",
     "scan_filter", "group_agg", "hash_join", "window_rank", "sort_limit",
     "events_window_agg",
 ]
@@ -52,7 +52,9 @@ def entry_mod():
 
 @pytest.mark.parametrize("key", CHEAP_KEYS + INDEXED_KEYS)
 def test_no_row_python_in_contract_plans(spark, entry_mod, key):
-    df = entry_mod.queries()[key](spark, SF_DIR)
+    # audit_queries = contract entries + audit-only brute twins (trimming
+    # the driver contract to <=50 must never drop a path from this audit)
+    df = entry_mod.audit_queries()[key](spark, SF_DIR)
     assert_no_row_python(df, key)
 
 
@@ -118,6 +120,32 @@ def test_no_pinned_rdds_after_query_batch(spark, entry_mod):
     assert after == baseline, (
         f"{after - baseline} new RDD(s) pinned after build+query batch"
     )
+
+
+@pytest.mark.parametrize(
+    "brute,indexed",
+    [
+        ("boolean_and", "boolean_and_indexed"),
+        ("boolean_or", "boolean_or_indexed"),
+        ("tfidf_topk", "tfidf_topk_indexed"),
+        ("filter_topk", "filter_topk_indexed"),
+        ("phrase_count3", "phrase_count3_indexed"),
+    ],
+)
+def test_audit_only_brute_twins_equal_indexed_contract_entries(
+    spark, entry_mod, brute, indexed
+):
+    """The five brute-force twins trimmed from the ≤50 driver contract must
+    stay row-identical to their indexed siblings (whose oracle rows remain
+    driver-checked) — so the trim loses zero correctness coverage."""
+    aq = entry_mod.audit_queries()
+    b = aq[brute](spark, SF_DIR)
+    i = aq[indexed](spark, SF_DIR)
+    cols = sorted(b.columns)
+    assert cols == sorted(i.columns)
+    bs = sorted(map(tuple, b.select(*cols).collect()))
+    is_ = sorted(map(tuple, i.select(*cols).collect()))
+    assert bs == is_ and len(bs) > 0
 
 
 def test_no_pinned_rdds_after_dedup_operators(spark, entry_mod):
