@@ -650,6 +650,55 @@ def ivf_build(
     return cents
 
 
+def ivf_extend(
+    new_embeddings: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append new vectors to a persisted IVF index WITHOUT retraining:
+    assign each into the existing centroids and append to the hive
+    ``assignments`` partitions — the exact graft of the reference's
+    buildAndMergeNewNodes (insert new nodes into the existing structure,
+    GraphIndexBuilder.java:1015-1057; B10 for the ANN tier). Centroids are
+    unchanged, so extend ≡ rebuild-with-the-same-centroids (tested), and
+    partition pruning keeps working for the appended files. Returns the
+    number of vectors appended. Periodic retrain (a fresh ``ivf_build``)
+    is the compaction analog once drift accumulates."""
+    import os
+
+    spark = new_embeddings.sparkSession
+    C = ivf_read_centroids(spark, index_dir)
+    delta = ivf_assign(new_embeddings, C, id_col, vec_col)
+    n = delta.count()
+    delta.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(index_dir, "assignments")
+    )
+    return int(n)
+
+
+def ivf_delete(spark, index_dir: str, ids, id_col: str = "vec_id") -> None:
+    """Tombstone vectors in a persisted IVF index (markNodeDeleted / M1 for
+    the ANN tier): ids land in a ``tombstones`` table and every
+    ``ivf_topk_indexed`` masks them out of the candidate set. Physical
+    removal = rebuild (``ivf_build`` over the live rows), the B8 compaction
+    analog."""
+    import os
+
+    spark.createDataFrame(
+        [(int(i),) for i in ids], f"{id_col} long"
+    ).write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+
+
+def _ivf_tombstones(spark, index_dir: str) -> DataFrame | None:
+    import os
+
+    path = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(path) or not os.listdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
 def ivf_read_centroids(spark, index_dir: str) -> np.ndarray:
     import os
 
@@ -708,6 +757,13 @@ def ivf_topk_indexed(
     else:
         probes = [int(c) for c in order[: int(n_probe)]]
     cand_ids = assignments.filter(F.col("cluster").isin(probes)).select(id_col)
+    tomb = _ivf_tombstones(spark, index_dir)
+    if tomb is not None:
+        # deleted ids never reach scoring (M1 mask; broadcast — the
+        # tombstone set is small until compaction rebuilds)
+        cand_ids = cand_ids.join(
+            F.broadcast(tomb.select(id_col)), id_col, "left_anti"
+        )
     cand = embeddings.join(cand_ids, id_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
@@ -824,6 +880,7 @@ def ann_topk_sq8(
     rerank: int | None = None,
     codes: DataFrame | None = None,
     params: tuple[np.ndarray, np.ndarray] | None = None,
+    deleted: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -833,7 +890,10 @@ def ann_topk_sq8(
     result is IDENTICAL to ``cosine_topk`` (hash-checked against the same
     DuckDB oracle in the driver contract) while the first pass reads 4×
     fewer vector bytes. ``codes``/``params`` accept a pre-encoded table
-    (at scale: persist ``sq8_encode`` output once, scan it per query)."""
+    (at scale: persist ``sq8_encode`` output once, scan it per query).
+    ``deleted`` is the tombstone relation (M1 mask): those ids are dropped
+    BEFORE candidate selection, so deletes neither surface nor consume
+    rerank budget — re-encode (compaction) reclaims the bytes."""
     if rerank is None:
         rerank = max(64, SQ8_RERANK_FACTOR * k)
     if params is None:
@@ -842,6 +902,10 @@ def ann_topk_sq8(
     if codes is None:
         codes = sq8_encode(embeddings, mn, scale, id_col, vec_col)
     approx = sq8_approx_scores(codes, mn, scale, query_vec, id_col)
+    if deleted is not None:
+        approx = approx.join(
+            F.broadcast(deleted.select(id_col)), id_col, "left_anti"
+        )
     cand_ids = (
         approx.orderBy(F.desc("approx"), F.asc(id_col))
         .limit(int(rerank))
@@ -858,6 +922,7 @@ def ann_topk_sq8_batch(
     rerank: int | None = None,
     codes: DataFrame | None = None,
     params: tuple[np.ndarray, np.ndarray] | None = None,
+    deleted: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
@@ -871,7 +936,8 @@ def ann_topk_sq8_batch(
     rank-identical to :func:`cosine_topk_batch` (same oracle in the
     driver contract). At scale: persist ``sq8_encode`` output once; the
     per-query-batch cost is one compressed scan regardless of the number
-    of queries in the batch."""
+    of queries in the batch. ``deleted`` tombstones are masked off the
+    codes scan itself (M1), so deleted vectors cost nothing downstream."""
     if rerank is None:
         rerank = max(64, SQ8_RERANK_FACTOR * k)
     if params is None:
@@ -879,6 +945,10 @@ def ann_topk_sq8_batch(
     mn, scale = params
     if codes is None:
         codes = sq8_encode(embeddings, mn, scale, id_col, vec_col)
+    if deleted is not None:
+        codes = codes.join(
+            F.broadcast(deleted.select(id_col)), id_col, "left_anti"
+        )
     qrows = queries.select(qid_col, qvec_col).collect()  # query-batch-sized
     if not qrows:
         return embeddings.sparkSession.createDataFrame(

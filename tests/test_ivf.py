@@ -159,6 +159,124 @@ def test_probe_adaptive_contract_operating_point_recall(spark, embeddings, tmp_p
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_ivf_extend_equals_rebuild_with_same_centroids(spark, embeddings, tmp_path):
+    """Append-into-existing-centroids (B10 for the ANN tier): extending an
+    index built on half the corpus must yield the SAME assignments relation
+    as assigning the full corpus against those centroids — and identical
+    top-k answers."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build,
+        ivf_extend,
+        ivf_read_centroids,
+        ivf_topk_indexed,
+    )
+
+    half = embeddings.filter(F.col("vec_id") % 2 == 0)
+    rest = embeddings.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "ivf_ext")
+    ivf_build(half, d, n_clusters=8, n_iters=4, seed=77)
+    n_added = ivf_extend(rest, d)
+    assert n_added == rest.count()
+
+    C = ivf_read_centroids(spark, d)
+    want_assign = {
+        (r.vec_id, r.cluster) for r in ivf_assign(embeddings, C).collect()
+    }
+    got_assign = {
+        (r.vec_id, r.cluster)
+        for r in spark.read.parquet(str(tmp_path / "ivf_ext" / "assignments")).collect()
+    }
+    assert got_assign == want_assign
+
+    qv = list(
+        embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    base = embeddings.filter(F.col("vec_id") != 0)
+    got = [
+        (r.rank, r.vec_id)
+        for r in ivf_topk_indexed(spark, d, base, qv, k=10, n_probe=8).collect()
+    ]
+    from jvector_spark.operators.similarity import cosine_topk
+
+    want = [(r.rank, r.vec_id) for r in cosine_topk(base, qv, k=10).collect()]
+    assert got == want
+
+
+def test_ivf_delete_masks_topk(spark, embeddings, tmp_path):
+    """Tombstoned ids (M1 for the ANN tier) must vanish from every probe's
+    candidate set — the survivors' ranking equals the exact scan over the
+    live rows."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_delete,
+        ivf_topk_indexed,
+    )
+
+    d = str(tmp_path / "ivf_del")
+    ivf_build(embeddings, d, n_clusters=8, n_iters=4, seed=77)
+    qv = list(
+        embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    base = embeddings.filter(F.col("vec_id") != 0)
+    # tombstone the current top-3
+    top = [
+        r.vec_id
+        for r in ivf_topk_indexed(spark, d, base, qv, k=3, n_probe=8).collect()
+    ]
+    ivf_delete(spark, d, top)
+    got = [
+        (r.rank, r.vec_id)
+        for r in ivf_topk_indexed(spark, d, base, qv, k=10, n_probe=8).collect()
+    ]
+    assert not {v for _, v in got} & set(top)
+    live = base.filter(~F.col("vec_id").isin(top))
+    want = [(r.rank, r.vec_id) for r in cosine_topk(live, qv, k=10).collect()]
+    assert got == want
+
+
+def test_sq8_delete_masks_topk(spark, embeddings):
+    """SQ8 tombstone mask: deleted ids are dropped off the compressed scan
+    (single and batch paths) and the survivors match the exact scan."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.similarity import (
+        ann_topk_sq8,
+        ann_topk_sq8_batch,
+        cosine_topk,
+    )
+
+    qv = list(
+        embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    base = embeddings.filter(F.col("vec_id") != 0)
+    top = [r.vec_id for r in ann_topk_sq8(base, qv, k=3).collect()]
+    deleted = spark.createDataFrame([(int(v),) for v in top], "vec_id long")
+    got = [
+        (r.rank, r.vec_id)
+        for r in ann_topk_sq8(base, qv, k=10, deleted=deleted).collect()
+    ]
+    live = base.filter(~F.col("vec_id").isin(top))
+    want = [(r.rank, r.vec_id) for r in cosine_topk(live, qv, k=10).collect()]
+    assert got == want
+
+    queries = spark.createDataFrame(
+        [(0, qv)], "query_id long, qvec array<float>"
+    )
+    got_b = [
+        (r.rank, r.vec_id)
+        for r in ann_topk_sq8_batch(base, queries, k=10, deleted=deleted)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got_b == want
+
+
 def test_ivf_indexed_probe_prunes_partitions(spark, embeddings, tmp_path):
     """The persisted-assignments probe must PARTITION-PRUNE: the scan's
     plan carries a cluster partition filter, so only probed hive dirs are

@@ -149,6 +149,86 @@ def test_stream_picks_up_new_files_incrementally(spark, stream_pdf, tmp_path_fac
     assert got.filter(F.col("doc_id") >= n1).count() > 0
 
 
+def test_amortized_staging_and_flush_equals_batch(
+    spark, stream_pdf, tmp_path_factory
+):
+    """merge_every parks post-build batches in stream_staging (visible via
+    staged_docs, invisible to the index) until flush_staged folds them all
+    into ONE extend — and the flushed index answers queries identically to
+    a brute-force over the full corpus."""
+    from jvector_spark.index.query import bm25_topk_indexed
+    from jvector_spark.index.storage import read_segments
+    from jvector_spark.operators.doc_ids import assign_dense_ids
+    from jvector_spark.operators.topk import bm25_topk_bruteforce, queries_df
+    from jvector_spark.streaming import (
+        flush_staged,
+        staged_docs,
+        stream_index_transcripts,
+    )
+
+    root = str(tmp_path_factory.mktemp("stream_amort"))
+    src = os.path.join(root, "src")
+    idx = os.path.join(root, "idx")
+    ckpt = os.path.join(root, "ckpt")
+    _write_chunks(stream_pdf, src, n_chunks=4)
+
+    stream_index_transcripts(
+        spark, src, idx, ckpt, n_parts=2, max_files_per_trigger=1,
+        merge_every=10,
+    )
+    lineage = spark.read.parquet(os.path.join(idx, "stream_lineage"))
+    assert lineage.filter(F.col("status") == "staged").count() == 3
+    n_built = int(read_segments(spark, idx)["n_docs"])
+    st = staged_docs(spark, idx)
+    assert st is not None
+    assert n_built + st.count() == len(stream_pdf)
+
+    m = flush_staged(spark, idx)
+    assert m["batches_merged"] == 3
+    assert int(read_segments(spark, idx)["n_docs"]) == len(stream_pdf)
+    assert staged_docs(spark, idx) is None
+
+    qterms = queries_df(
+        spark, [(0, ["t0001", "t0005"]), (1, ["t0042"]), (2, ["t0007", "t0003"])]
+    )
+    got = bm25_topk_indexed(spark, idx, qterms, k=10, prune=True)
+    corpus = assign_dense_ids(
+        spark.createDataFrame(stream_pdf), ["conv_id", "turn_idx"]
+    )
+    want = bm25_topk_bruteforce(corpus, qterms, k=10)
+    g = {(r.query_id, r.rank, round(r.score, 9)) for r in got.collect()}
+    w = {(r.query_id, r.rank, round(r.score, 9)) for r in want.collect()}
+    assert g == w
+
+    # replay after flush: nothing re-applied
+    stream_index_transcripts(
+        spark, src, idx, ckpt, n_parts=2, max_files_per_trigger=1,
+        merge_every=10,
+    )
+    assert int(read_segments(spark, idx)["n_docs"]) == len(stream_pdf)
+
+
+def test_amortized_threshold_triggers_merge(spark, stream_pdf, tmp_path_factory):
+    """Crossing merge_every inside the stream triggers the flush without a
+    manual call (every batch ends committed, staging drained)."""
+    from jvector_spark.index.storage import read_segments
+    from jvector_spark.streaming import staged_docs, stream_index_transcripts
+
+    root = str(tmp_path_factory.mktemp("stream_thresh"))
+    src = os.path.join(root, "src")
+    idx = os.path.join(root, "idx")
+    ckpt = os.path.join(root, "ckpt")
+    _write_chunks(stream_pdf, src, n_chunks=3)
+    stream_index_transcripts(
+        spark, src, idx, ckpt, n_parts=2, max_files_per_trigger=1,
+        merge_every=2,
+    )
+    assert int(read_segments(spark, idx)["n_docs"]) == len(stream_pdf)
+    assert staged_docs(spark, idx) is None
+    lineage = spark.read.parquet(os.path.join(idx, "stream_lineage"))
+    assert lineage.filter(F.col("status") == "complete").count() == 3
+
+
 def test_streaming_role_stats_matches_batch(spark, stream_pdf, tmp_path_factory):
     from jvector_spark.streaming import streaming_role_stats, transcript_stream
 
