@@ -645,8 +645,15 @@ def _shard_job_main(
     cpuset = os.environ.get("SPARK_GRAFT_CPUSET", "")
     if cpuset:
         os.sched_setaffinity(0, {int(c) for c in cpuset.split(",")})
+    # shuffle partitions sized by the shard's DATA SHARE: the cluster-wide
+    # partition count stays constant as executors scale (each of N shard
+    # jobs owns total/N partitions of total/N data). Giving every shard the
+    # full 16 would bill the hi leg 4× the per-task fixed costs per row —
+    # a harness artifact, not engine behavior.
     spark = get_spark(
-        cores=cores, shuffle_partitions=16, app_name=f"jv_shard_{n_shards}_{shard_idx}"
+        cores=cores,
+        shuffle_partitions=max(4, 16 // max(n_shards, 1)),
+        app_name=f"jv_shard_{n_shards}_{shard_idx}",
     )
     # the source is hive-partitioned by shard key (s=0..3); each job reads
     # ONLY its own split — like a real executor reading its input split,
@@ -736,16 +743,20 @@ def sharded_scaling(src: str, workdir: str, shard_counts: list[int]) -> dict:
             if n_shards > 1
             else [0]
         )
-        # disjoint cpuset per shard process (cgroup-style): proc i owns
-        # cores [i·cpp, (i+1)·cpp). The lo leg's single proc gets the SAME
-        # width (cores 0..cpp-1), so both legs run under identical per-proc
-        # constraints and neither free-rides on idle machine cores.
+        # disjoint cpuset per shard process (cgroup-style): proc i owns cpp
+        # cores starting at i·stride, SPREAD across the die (0, 8, 16, 24 on
+        # a 32-core box) rather than adjacent — adjacent busy cores showed
+        # measurable extra memory-path contention in the streaming probe.
+        # The lo leg's single proc gets the SAME width (cores 0..cpp-1), so
+        # both legs run under identical per-proc constraints and neither
+        # free-rides on idle machine cores.
         cpp = max(1, int(cores_pp))
+        stride = max(cpp, (os.cpu_count() or 32) // max(n_shards, 1))
         procs = []
         for i in range(n_shards):
             env = dict(os.environ)
             env["SPARK_GRAFT_CPUSET"] = ",".join(
-                str(c) for c in range(i * cpp, (i + 1) * cpp)
+                str(c) for c in range(i * stride, i * stride + cpp)
             )
             procs.append(
                 subprocess.Popen(

@@ -104,13 +104,14 @@ def decode_postings(spark: SparkSession, index_dir: str, extra_cols: list[str] |
 # query prep
 # ---------------------------------------------------------------------------
 
-def _prepared_query_blocks(
+def _query_spec(
     spark: SparkSession, index_dir: str, qterms: DataFrame, seg: dict,
     global_df: DataFrame | None = None,
     idf: str = "bm25",
-) -> DataFrame:
-    """Join the query set to the dictionary and fetch only the posting
-    blocks of queried terms, with directory-level part_id pruning.
+):
+    """(qd_rows, qid_type, postings): the enriched query relation collected
+    driver-side (tiny — queries × terms), the caller relation's query_id
+    dtype, and the part-id-pruned postings scan.
 
     ``global_df`` (term, df) overrides the shard-local document frequencies
     for idf — the sharded-index path computes idf from CORPUS-wide stats so
@@ -141,14 +142,6 @@ def _prepared_query_blocks(
         .select("query_id", "term_id", "weight", "idf", "n_salts")
         .collect()
     )
-    # re-emitted schema derives query_id's type from the caller's relation
-    # (long/string query ids must round-trip unchanged); weight is coerced
-    # to double so integer weights survive type verification
-    qid_type = dict(qterms.dtypes).get("query_id", "int")
-    qd = spark.createDataFrame(
-        [(r.query_id, r.term_id, float(r.weight), float(r.idf)) for r in qd_rows],
-        f"query_id {qid_type}, term_id long, weight double, idf double",
-    )
     # which hive buckets hold these terms? tiny local relation → xxhash64 is
     # JVM-side, so resolve part ids via a throwaway local-relation expression
     pairs = [(int(r.term_id), s) for r in qd_rows for s in range(int(r.n_salts))]
@@ -170,6 +163,33 @@ def _prepared_query_blocks(
     postings = read_table(spark, index_dir, "postings")
     if parts:
         postings = postings.filter(F.col("part_id").isin(parts))
+    qid_type = dict(qterms.dtypes).get("query_id", "int")
+    return qd_rows, qid_type, postings
+
+
+def _prepared_query_blocks(
+    spark: SparkSession, index_dir: str, qterms: DataFrame, seg: dict,
+    global_df: DataFrame | None = None,
+    idf: str = "bm25",
+) -> DataFrame:
+    """Join the query set to the dictionary and fetch only the posting
+    blocks of queried terms, with directory-level part_id pruning. Each
+    block row replicates once per matching (query, term) pair — fine for
+    the relational paths; the WAND batch path uses the bucketed gather in
+    :func:`bm25_topk_indexed` instead (blocks ship once per query BUCKET)."""
+    qd_rows, qid_type, postings = _query_spec(
+        spark, index_dir, qterms, seg, global_df, idf
+    )
+    # the enriched query relation is tiny (queries × terms): collect it ONCE
+    # and re-emit a local DataFrame for the broadcast join — no persist, so
+    # a long-running query loop pins zero executor storage (round-1 leak).
+    # Schema derives query_id's type from the caller's relation
+    # (long/string query ids must round-trip unchanged); weight is coerced
+    # to double so integer weights survive type verification
+    qd = spark.createDataFrame(
+        [(r.query_id, r.term_id, float(r.weight), float(r.idf)) for r in qd_rows],
+        f"query_id {qid_type}, term_id long, weight double, idf double",
+    )
     return postings.join(F.broadcast(qd), "term_id")
 
 
@@ -496,6 +516,74 @@ def _wand_group_fn(
     return fn
 
 
+def _wand_bucket_fn(
+    bucket_queries: dict,
+    k: int, k1: float, b: float, avgdl: float, with_metrics: bool,
+    dead: np.ndarray | None = None,
+    accept: np.ndarray | None = None,
+    offset: int = 0,
+):
+    """Kernel for the bucketed gather: the group holds each matched block
+    ONCE per bucket; ``bucket_queries[bucket]`` (closure-shipped, query-
+    batch-sized) lists the bucket's queries as (query_id, spec_pdf) where
+    spec_pdf has (term_id, weight, idf). Each query selects its terms'
+    blocks from the group and runs the standard per-query WAND kernel —
+    identical math/tie-breaks to the per-query grouping, ~queries-per-term/
+    buckets less shuffle+Arrow traffic."""
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qid, (tids, weights, idfs) in bucket_queries.get(int(key[0]), ()):
+            spec = pd.DataFrame(
+                {"term_id": tids, "weight": weights, "idf": idfs}
+            )
+            sub = pdf.merge(spec, on="term_id")
+            if len(sub) == 0:
+                continue
+            t0 = time.perf_counter() if with_metrics else 0.0
+            docs, scores, dec, skip = wand_topk_arrays(
+                sub, offset + k, k1, b, avgdl, dead, accept
+            )
+            kernel_ms = (time.perf_counter() - t0) * 1e3
+            docs, scores = docs[offset:], scores[offset:]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.full(len(docs), qid, dtype=np.int32),
+                    "rank": np.arange(
+                        offset + 1, offset + len(docs) + 1, dtype=np.int32
+                    ),
+                    "doc_id": docs,
+                    "score": scores,
+                }
+            )
+            if with_metrics:
+                out["blocks_decoded"] = np.int32(dec)
+                out["blocks_skipped"] = np.int32(skip)
+                out["kernel_ms"] = np.float64(kernel_ms)
+            outs.append(out)
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "query_id": np.zeros(0, np.int32),
+                    "rank": np.zeros(0, np.int32),
+                    "doc_id": np.zeros(0, np.int64),
+                    "score": np.zeros(0, np.float64),
+                    **(
+                        {
+                            "blocks_decoded": np.zeros(0, np.int32),
+                            "blocks_skipped": np.zeros(0, np.int32),
+                            "kernel_ms": np.zeros(0, np.float64),
+                        }
+                        if with_metrics
+                        else {}
+                    ),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     index_dir: str,
@@ -506,6 +594,7 @@ def bm25_topk_indexed(
     offset: int = 0,
     global_stats: dict | None = None,
     global_df: DataFrame | None = None,
+    query_buckets: int | None = None,
 ) -> DataFrame:
     """BM25 top-k over the index. ``prune=False`` is the relational exact
     path; ``prune=True`` runs Block-Max WAND (results must be identical —
@@ -541,20 +630,58 @@ def bm25_topk_indexed(
     dead = (
         np.sort(np.fromiter(dead_set, dtype=np.int64)) if dead_set else None
     )
-    blocks = _prepared_query_blocks(spark, index_dir, qterms, seg, global_df)
     schema = "query_id int, rank int, doc_id long, score double"
     if with_metrics:
         schema += ", blocks_decoded int, blocks_skipped int, kernel_ms double"
+
+    # Bucketed gather (the 2→8-core scaling fix): grouping by query_id
+    # replicates each posting block once per query that matches its term —
+    # for a 5000-query batch over a shared vocabulary that is a memory-
+    # bandwidth-bound shuffle + Arrow transfer which stops scaling inside
+    # one box long before the (parallelism-independent) WAND kernel does.
+    # Instead, queries are dealt round-robin into ``query_buckets`` groups
+    # and each block ships once per BUCKET that needs its term (≤ buckets
+    # times total, vs ≤ queries times); the kernel loops the bucket's
+    # queries in-task. Math, tie-breaks, metrics and pagination are
+    # identical to the per-query grouping (equivalence pytest-enforced).
+    qd_rows, _, postings = _query_spec(spark, index_dir, qterms, seg, global_df)
+    qspec: dict = {}
+    for r in qd_rows:
+        # duplicate (query, term) rows sum their weights — same math as the
+        # per-query path scoring each duplicate block row separately
+        tmap = qspec.setdefault(r.query_id, {})
+        w, i_ = tmap.get(int(r.term_id), (0.0, float(r.idf)))
+        tmap[int(r.term_id)] = (w + float(r.weight), i_)
+    qids = sorted(qspec)
+    if query_buckets is None:
+        query_buckets = max(1, min(len(qids), 4 * spark.sparkContext.defaultParallelism))
+    bucket_queries: dict[int, list] = {}
+    tb_pairs = set()
+    for i, qid in enumerate(qids):
+        bkt = i % query_buckets
+        spec = qspec[qid]
+        arrs = (
+            np.fromiter(spec.keys(), dtype=np.int64),
+            np.fromiter((v[0] for v in spec.values()), dtype=np.float64),
+            np.fromiter((v[1] for v in spec.values()), dtype=np.float64),
+        )
+        bucket_queries.setdefault(bkt, []).append((int(qid), arrs))
+        tb_pairs.update((t, bkt) for t in spec)
+    tb = spark.createDataFrame(
+        [(int(t), int(bkt)) for t, bkt in sorted(tb_pairs)],
+        "term_id long, bucket int",
+    )
+    blocks = postings.join(F.broadcast(tb), "term_id")
     return (
         blocks.select(
-            "query_id", "term_id", "weight", "idf", "n", "base", "max_doc_id",
+            "bucket", "term_id", "n", "base", "max_doc_id",
             "max_tf", "min_dl", "doc_ids_packed", "tfs_packed", "dls_packed",
         )
-        .groupBy("query_id")
+        .groupBy("bucket")
         .applyInPandas(
-            _wand_group_fn(
-                k, seg["k1"], seg["b"], seg["avgdl"], with_metrics, dead,
-                offset=offset,
+            _wand_bucket_fn(
+                bucket_queries, k, seg["k1"], seg["b"], seg["avgdl"],
+                with_metrics, dead, offset=offset,
             ),
             schema=schema,
         )

@@ -75,6 +75,34 @@ def test_indexed_topk_equals_bruteforce(spark, corpus, index_dir, query_set):
         assert_topk_match(got, want)
 
 
+def test_bucketed_gather_invariant_to_bucket_count(spark, index_dir, query_set):
+    """The bucketed WAND gather (blocks ship per query BUCKET, kernel loops
+    the bucket's queries) must be EXACTLY invariant to the bucket count —
+    1 bucket, per-query buckets, and the auto default all yield identical
+    rows, ranks, scores, and metrics columns."""
+    from jvector_spark.index.query import bm25_topk_indexed
+    from jvector_spark.operators.topk import queries_df
+
+    qdf = queries_df(
+        spark, list(zip(query_set["query_id"], [list(t) for t in query_set["terms"]]))
+    )
+    nq = int(qdf.select("query_id").distinct().count())
+
+    def rows(**kw):
+        return sorted(
+            (r.query_id, r.rank, r.doc_id, round(r.score, 12))
+            for r in bm25_topk_indexed(spark, index_dir, qdf, k=10, **kw).collect()
+        )
+
+    base = rows()
+    assert base == rows(query_buckets=1)
+    assert base == rows(query_buckets=nq)
+    # pagination composes with bucketing: the page's ranks ≤ 10 must be
+    # exactly the base rows at those ranks
+    page = rows(query_buckets=3, offset=5)
+    assert [t for t in page if t[1] <= 10] == [t for t in base if t[1] > 5]
+
+
 def test_wand_prunes_blocks(spark, index_dir, query_set):
     from jvector_spark.index.query import bm25_topk_indexed
     from jvector_spark.operators.topk import queries_df

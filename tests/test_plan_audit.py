@@ -56,6 +56,10 @@ def test_no_row_python_in_contract_plans(spark, entry_mod, key):
     # the driver contract to <=50 must never drop a path from this audit)
     df = entry_mod.audit_queries()[key](spark, SF_DIR)
     assert_no_row_python(df, key)
+    # eager operators (dedup pair tiers) return their one persisted result
+    # frame — release it so the audit walk leaves no pins behind for later
+    # tests (callers own the pin by contract)
+    df.unpersist()
 
 
 def test_scan_filter_pushdown_and_pruning(spark, entry_mod):
@@ -98,6 +102,7 @@ def test_minhash_verification_is_candidates_only(spark, entry_mod):
 
     df = entry_mod.queries()["minhash_near_dups"](spark, SF_DIR)
     plan = explain_str(df, "simple")
+    df.unpersist()  # eager operator: release this test's pin
     assert plan.count("LeftSemi") >= 2, plan
 
 
@@ -139,8 +144,11 @@ def test_audit_only_brute_twins_equal_indexed_contract_entries(
     stay row-identical to their indexed siblings (whose oracle rows remain
     driver-checked) — so the trim loses zero correctness coverage."""
     aq = entry_mod.audit_queries()
-    b = aq[brute](spark, SF_DIR)
-    i = aq[indexed](spark, SF_DIR)
+    # the fixed 3-term phrase has zero occurrences at sf0.001 (equal-but-
+    # empty is vacuous) — that pair compares at sf0.01, where it has rows
+    sf = "/root/testdata/sf0.01" if brute == "phrase_count3" else SF_DIR
+    b = aq[brute](spark, sf)
+    i = aq[indexed](spark, sf)
     cols = sorted(b.columns)
     assert cols == sorted(i.columns)
     bs = sorted(map(tuple, b.select(*cols).collect()))
@@ -159,20 +167,31 @@ def test_no_pinned_rdds_after_dedup_operators(spark, entry_mod):
         minhash_near_dups,
     )
 
-    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    def pinned_ids() -> set:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    # compare ID SETS, not sizes: earlier tests' pins may be reclaimed by
+    # the ContextCleaner mid-test, which would skew a size delta
+    baseline = pinned_ids()
     docs = entry_mod._docs(spark, SF_DIR)
     pairs = minhash_near_dups(docs, threshold=0.5)
     comps = dedup_components(pairs)
     jac = jaccard_pairs(docs, threshold=0.5)
-    mid = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert mid == baseline + 3, f"expected exactly 3 result pins, got {mid - baseline}"
+    new = pinned_ids() - baseline
+    # ≤ 3: Spark's CacheManager dedupes identical plans, so an earlier
+    # test's still-cached wrapper result can ABSORB one of our result pins
+    # (never add); > 3 would mean an intermediate pin leaked (the ADVICE
+    # regression this test guards)
+    assert len(new) <= 3, f"intermediate pin leaked: {len(new)} new pins"
     comps.count()  # results stay usable from cache before release
     for df in (pairs, comps, jac):
         df.unpersist()
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == baseline, (
-        f"{after - baseline} RDD(s) still pinned after dedup release"
-    )
+    left = pinned_ids() & new
+    # every pin this test created must release via the RETURNED frame —
+    # a leftover means an operator returned a frame derived from (not
+    # identical to) its persisted result
+    assert not left, f"{len(left)} RDD(s) still pinned after dedup release"
 
 
 def test_wand_scan_skips_packed_columns_for_meta(spark, entry_mod):
