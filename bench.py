@@ -98,6 +98,22 @@ HEADLINE = [
 ]
 
 
+def _shutdown_jvm_gateway() -> None:
+    """Tear down the py4j gateway JVM after SparkSession.stop() — the JVM
+    process (and its resident heap) otherwise survives the session and
+    sits on the box through subsequent subprocess measurements."""
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    if gw is not None:
+        try:
+            gw.shutdown()
+        except Exception:
+            pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+
+
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -969,6 +985,11 @@ def main() -> None:
             .collect()
         ]
         spark.stop()
+        # spark.stop() leaves the py4j JVM PROCESS alive with its resident
+        # heap from the whole headline phase — kill the gateway so the
+        # scaling sections measure against an idle box (a later get_spark
+        # relaunches a fresh gateway transparently)
+        _shutdown_jvm_gateway()
         scaling: dict = {
             "turns": SCALE_TURNS, "lo_cores": SCALE_LO, "hi_cores": SCALE_HI,
             "repeats": SCALE_REPEATS,

@@ -654,7 +654,15 @@ def bm25_topk_indexed(
         tmap[int(r.term_id)] = (w + float(r.weight), i_)
     qids = sorted(qspec)
     if query_buckets is None:
-        query_buckets = max(1, min(len(qids), 4 * spark.sparkContext.defaultParallelism))
+        # bucket count sized by the QUERY BATCH, never by parallelism: the
+        # shuffled volume is Σ_buckets |blocks(bucket's terms)| — hot Zipf
+        # terms appear in most buckets, so volume grows with bucket count,
+        # and a core-derived count would make the hi-parallelism leg
+        # shuffle MORE bytes for the same batch (an anti-scaling harness
+        # artifact, the same principle as data-sized shuffle partitions).
+        # ~64 queries/bucket amortizes each bucket's block set well; the
+        # floor keeps small batches parallel across a few dozen tasks.
+        query_buckets = min(len(qids), max(32, -(-len(qids) // 64)))
     bucket_queries: dict[int, list] = {}
     tb_pairs = set()
     for i, qid in enumerate(qids):

@@ -215,6 +215,121 @@ def ann_topk_pq(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ann_topk_pq_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int | None = None,
+    codes: DataFrame | None = None,
+    codebooks: np.ndarray | None = None,
+    m: int | None = None,
+    deleted: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batch two-phase PQ serving — the 32×-compression twin of
+    :func:`~jvector_spark.operators.similarity.ann_topk_sq8_batch`: ONE
+    compressed codes scan scores EVERY query (the per-query ADC tables for
+    the whole batch are precomputed driver-side and shipped in the kernel
+    closure; scoring a codes batch is ``m`` vectorized table gathers per
+    query block, reading m bytes/vector), a bounded window keeps
+    ``rerank`` candidates per query, and the exact float rerank touches
+    only the candidate union (each candidate vector gathered once). With
+    the default margin the output is rank-identical to
+    ``cosine_topk_batch`` (pytest-enforced). ``deleted`` tombstones mask
+    off the codes scan (M1). Reference analog: fused bulk ADC scoring
+    over a query stream (PQVectors.java:208-279 + Q14)."""
+    from pyspark.sql import Window
+
+    if rerank is None:
+        rerank = max(PQ_RERANK_FLOOR, PQ_RERANK_FACTOR * k)
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m=m, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    if deleted is not None:
+        codes = codes.join(
+            F.broadcast(deleted.select(id_col)), id_col, "left_anti"
+        )
+    qrows = queries.select(qid_col, qvec_col).collect()  # query-batch-sized
+    if not qrows:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{qid_col} long, rank int, {id_col} long, cos double"
+        )
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    mm, _, dsub = B.shape
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    # T[q, s, c] = codebook[s][c] · q_sub[s] — one ADC table PER QUERY,
+    # all precomputed in a single einsum (batch × m × k doubles)
+    T = np.einsum("skd,qsd->qsk", B, Qn.reshape(len(Qn), mm, dsub))
+    Tm = np.ascontiguousarray(T.transpose(1, 2, 0))  # (m, k, Q) for gathers
+    rr = int(rerank)
+
+    def approx_fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            buf = b"".join(pdf["codes"])
+            C = np.frombuffer(buf, dtype=np.uint8).reshape(len(pdf), mm)
+            S = np.zeros((len(pdf), len(qids)))
+            for s in range(mm):
+                S += Tm[s, C[:, s], :]
+            ids = pdf[id_col].to_numpy()
+            parts = []
+            for j in range(len(qids)):
+                top = np.lexsort((ids, -S[:, j]))[:rr]
+                parts.append(
+                    pd.DataFrame(
+                        {qid_col: qids[j], id_col: ids[top], "approx": S[top, j]}
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    partial = codes.mapInPandas(
+        approx_fn, schema=f"{qid_col} long, {id_col} long, approx double"
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("approx"), F.asc(id_col))
+    cand = (
+        partial.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rr)
+        .select(qid_col, id_col)
+    )
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    joined = cand.join(embeddings.select(id_col, vec_col), id_col)
+
+    def rerank_fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            qi = np.fromiter(
+                (qpos[int(q)] for q in pdf[qid_col]), dtype=np.int64
+            )
+            cos = np.einsum("ij,ij->i", Xn, Qn[qi])
+            yield pd.DataFrame(
+                {
+                    qid_col: pdf[qid_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
+                    "cos": cos,
+                }
+            )
+
+    exact = joined.mapInPandas(
+        rerank_fn, schema=f"{qid_col} long, {id_col} long, cos double"
+    )
+    w2 = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= int(k))
+        .select(qid_col, "rank", id_col, "cos")
+    )
+
+
 def pq_compression_ratio(dim: int, m: int | None = None) -> float:
     """float32 bytes per vector / PQ code bytes per vector."""
     if m is None:

@@ -91,6 +91,61 @@ def test_ann_topk_pq_equals_exact_scan(embeddings):
     codes.unpersist()
 
 
+def test_ann_topk_pq_batch_equals_exact_batch(spark, embeddings):
+    """The batch serving shape: ONE codes scan for a query TABLE must be
+    rank-identical to the exact batch scan, and the deleted= mask drops
+    tombstoned ids before candidate selection."""
+    from jvector_spark.operators.pq import ann_topk_pq_batch, pq_encode, pq_train
+    from jvector_spark.operators.similarity import cosine_topk_batch
+
+    books = pq_train(embeddings, seed=99)
+    codes = pq_encode(embeddings, books).cache()
+    qrows = embeddings.orderBy("vec_id").limit(5).collect()
+    queries = spark.createDataFrame(
+        [(int(r.vec_id), list(r.embedding)) for r in qrows],
+        "query_id long, qvec array<float>",
+    )
+    want = [
+        (r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+        for r in cosine_topk_batch(embeddings, queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    got = [
+        (r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+        for r in ann_topk_pq_batch(
+            embeddings, queries, k=10, codes=codes, codebooks=books
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want
+
+    # tombstone mask: the self-matches (rank 1 = the query vector itself)
+    # vanish and survivors equal the exact scan over live rows
+    deleted = spark.createDataFrame(
+        [(int(r.vec_id),) for r in qrows], "vec_id long"
+    )
+    live = embeddings.join(deleted, "vec_id", "left_anti")
+    want_m = [
+        (r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+        for r in cosine_topk_batch(live, queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    got_m = [
+        (r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+        for r in ann_topk_pq_batch(
+            embeddings, queries, k=10, codes=codes, codebooks=books,
+            deleted=deleted,
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got_m == want_m
+    codes.unpersist()
+
+
 def test_ann_topk_pq_inline_build_matches_exact(embeddings):
     """No pre-built structure passed: train + encode inline (the contract
     entry's shape) still equals the exact scan."""
