@@ -517,23 +517,28 @@ def _wand_group_fn(
 
 
 def _wand_bucket_fn(
-    bucket_queries: dict,
+    bucket_queries_bc,
     k: int, k1: float, b: float, avgdl: float, with_metrics: bool,
     dead: np.ndarray | None = None,
     accept: np.ndarray | None = None,
     offset: int = 0,
 ):
     """Kernel for the bucketed gather: the group holds each matched block
-    ONCE per bucket; ``bucket_queries[bucket]`` (closure-shipped, query-
-    batch-sized) lists the bucket's queries as (query_id, spec_pdf) where
-    spec_pdf has (term_id, weight, idf). Each query selects its terms'
-    blocks from the group and runs the standard per-query WAND kernel —
+    ONCE per bucket; ``bucket_queries_bc`` (a Spark BROADCAST of the
+    query-batch-sized dict) lists each bucket's queries as
+    (query_id, (term_ids, weights, idfs)). A broadcast — not a plain
+    closure — because the driver pickles a task's closure PER TASK on the
+    scheduler thread: at 5000 queries the spec dict is MBs, and that
+    serial per-task cost was measured as the stage that stopped the batch
+    query from scaling past ~0.5 efficiency at 2→8 cores (the broadcast
+    ships once per worker instead). Each query selects its terms' blocks
+    from the group and runs the standard per-query WAND kernel —
     identical math/tie-breaks to the per-query grouping, ~queries-per-term/
     buckets less shuffle+Arrow traffic."""
 
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for qid, (tids, weights, idfs) in bucket_queries.get(int(key[0]), ()):
+        for qid, (tids, weights, idfs) in bucket_queries_bc.value.get(int(key[0]), ()):
             spec = pd.DataFrame(
                 {"term_id": tids, "weight": weights, "idf": idfs}
             )
@@ -679,16 +684,23 @@ def bm25_topk_indexed(
         [(int(t), int(bkt)) for t, bkt in sorted(tb_pairs)],
         "term_id long, bucket int",
     )
+    bq_bc = spark.sparkContext.broadcast(bucket_queries)
     blocks = postings.join(F.broadcast(tb), "term_id")
     return (
         blocks.select(
             "bucket", "term_id", "n", "base", "max_doc_id",
             "max_tf", "min_dl", "doc_ids_packed", "tfs_packed", "dls_packed",
         )
+        # one shuffle partition PER BUCKET: under the session default (32)
+        # several buckets hash-collide into one partition and the tail
+        # task serializes 4-6 buckets' kernels — a straggler that costs
+        # nothing at low parallelism and ~20% wall at 8+ cores. groupBy
+        # reuses this exchange (partitioning satisfies the distribution).
+        .repartition(query_buckets, "bucket")
         .groupBy("bucket")
         .applyInPandas(
             _wand_bucket_fn(
-                bucket_queries, k, seg["k1"], seg["b"], seg["avgdl"],
+                bq_bc, k, seg["k1"], seg["b"], seg["avgdl"],
                 with_metrics, dead, offset=offset,
             ),
             schema=schema,
