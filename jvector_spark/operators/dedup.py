@@ -297,7 +297,14 @@ def minhash_near_dups(
     return _materialize_and_release(res, pins + [cand, shc])
 
 
-def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+DEDUP_LOCAL_EDGE_LIMIT = 65536  # ≤ this many edges → driver union-find
+
+
+def dedup_components(
+    pairs: DataFrame,
+    max_iters: int = 50,
+    local_edge_limit: int = DEDUP_LOCAL_EDGE_LIMIT,
+) -> DataFrame:
     """(doc_id, rep_id) — connected components over a near-dup pair graph
     (a < b edges), each doc labeled with the minimum doc_id reachable from
     it: the canonical "keep one representative per duplicate cluster" step
@@ -311,7 +318,43 @@ def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     chains would want the large-star/small-star contraction instead
     (documented trade-off, not needed for dedup graphs). Only docs that
     appear in some pair are returned (singletons are their own rep
-    trivially)."""
+    trivially).
+
+    Small graphs (≤ ``local_edge_limit`` edges — the common case: near-dup
+    pair sets are tiny relative to the corpus) are solved DRIVER-SIDE with
+    a union-find over the collected edges instead of paying ~2 Spark
+    actions of fixed job latency per fixpoint iteration — the same
+    small-side principle as a broadcast join. Identical (doc_id, rep_id)
+    output either way; the distributed loop remains the ≥100k-edge path."""
+    n_edges = pairs.count()
+    if n_edges <= int(local_edge_limit):
+        rows = pairs.select("a", "b").collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r_ in rows:
+            a, b = int(r_.a), int(r_.b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-id root → rep(n) = min doc_id in the component
+                lo_, hi_ = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi_] = lo_
+        out = pairs.sparkSession.createDataFrame(
+            sorted((n, find(n)) for n in parent),
+            "doc_id long, rep_id long",
+        ).persist()
+        out.count()
+        return out
+
     # materialize the edge relation ONCE: every fixpoint iteration joins it,
     # and without the persist each join would replay the whole upstream
     # near-dup pipeline (LSH + verify) per iteration

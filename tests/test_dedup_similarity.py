@@ -166,6 +166,13 @@ def test_dedup_components_min_label(spark):
 
     pairs = spark.createDataFrame(edges, "a long, b long")
     got = {(r.doc_id, r.rep_id) for r in dedup_components(pairs).collect()}
+    # the distributed fixpoint path (local_edge_limit=0 forces it) must
+    # produce the identical labeling as the driver union-find fast path
+    got_dist = {
+        (r.doc_id, r.rep_id)
+        for r in dedup_components(pairs, local_edge_limit=0).collect()
+    }
+    assert got_dist == got
 
     parent = {}
     def find(x):
