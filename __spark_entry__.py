@@ -144,6 +144,60 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _pq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted PQ structure (codebooks + codes + manifest) over the FULL
+    embeddings table; built once per process per sf_dir — serving queries
+    then scan the codes table instead of retraining per call (the
+    Grid.java:681-719 pq_cache idiom)."""
+    key = (sf_dir, "pq")
+    got = _MUTIDX_CACHE.get(key)
+    if got and os.path.exists(os.path.join(got, "manifest")):
+        return got
+    from jvector_spark.index.vectors import pq_build
+
+    d = tempfile.mkdtemp(prefix="jvidx_pq_")
+    pq_build(_read(spark, sf_dir, "embeddings"), d)
+    _MUTIDX_CACHE[key] = d
+    return d
+
+
+def _sq8_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted SQ8 structure (per-dim params + codes) over the FULL
+    embeddings table; built once per process per sf_dir."""
+    key = (sf_dir, "sq8")
+    got = _MUTIDX_CACHE.get(key)
+    if got and os.path.exists(os.path.join(got, "manifest")):
+        return got
+    from jvector_spark.index.vectors import sq8_build
+
+    d = tempfile.mkdtemp(prefix="jvidx_sq8_")
+    sq8_build(_read(spark, sf_dir, "embeddings"), d)
+    _MUTIDX_CACHE[key] = d
+    return d
+
+
+def _bq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted BQ structure (1 bit/dim sign codes) over the FULL
+    embeddings table; built once per process per sf_dir."""
+    key = (sf_dir, "bq")
+    got = _MUTIDX_CACHE.get(key)
+    if got and os.path.exists(os.path.join(got, "manifest")):
+        return got
+    from jvector_spark.index.vectors import bq_build
+
+    d = tempfile.mkdtemp(prefix="jvidx_bq_")
+    bq_build(_read(spark, sf_dir, "embeddings"), d)
+    _MUTIDX_CACHE[key] = d
+    return d
+
+
+def _vec0_deleted(spark: SparkSession) -> DataFrame:
+    """vec_id 0 is the query vector of the single-query ANN entries — the
+    persisted structures cover the FULL table, so the entries mask it via
+    the M1 tombstone plumbing instead of re-encoding a filtered corpus."""
+    return spark.createDataFrame([(0,)], "vec_id long")
+
+
 def _extended_index_for(spark: SparkSession, sf_dir: str) -> str:
     """Index built over the first half of documents then incrementally
     extended with the second half (doc_ids are dense 0..N-1 in the fixture
@@ -182,9 +236,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # brute-force twins kept out of the driver contract (their oracle would
 # duplicate the indexed sibling's row); still built + plan-audited via
-# ``audit_queries`` and brute≡indexed is pytest-enforced.
+# ``audit_queries`` and brute≡indexed is pytest-enforced
+# (test_phrase_count_indexed_equals_bruteforce covers phrase_count).
 _AUDIT_ONLY = frozenset(
-    {"tfidf_topk", "boolean_and", "boolean_or", "filter_topk", "phrase_count3"}
+    {
+        "tfidf_topk", "boolean_and", "boolean_or", "filter_topk",
+        "phrase_count3", "phrase_count",
+    }
 )
 
 
@@ -527,24 +585,55 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-phase SQ8 compressed scan + exact rerank — must be IDENTICAL
         # to the exact scan (same oracle as ann_topk): the fast-vs-slow
         # equivalence idiom (TestCompressedVectors.java:231) as a hash-green
-        # contract row
+        # contract row. Scans the PERSISTED structure (params + codes built
+        # once per sf_dir) — no per-call train/encode; vec_id 0 (the query)
+        # is masked via the M1 tombstone plumbing.
+        from jvector_spark.index.vectors import sq8_load
         from jvector_spark.operators.similarity import ann_topk_sq8
 
         emb = _read(spark, sf, "embeddings")
         qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        t = ann_topk_sq8(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
+        params, codes = sq8_load(spark, _sq8_index_for(spark, sf))
+        t = ann_topk_sq8(
+            emb.filter(F.col("vec_id") != 0), list(qv), k=10,
+            codes=codes, params=params, deleted=_vec0_deleted(spark),
+        )
         return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
 
     def q_ann_topk_pq(spark, sf):
         # two-phase PQ compressed scan (m = dim/8 → 32× compression, the
         # reference's README.md:166-170 headline) + exact rerank — must be
         # IDENTICAL to the exact scan (same oracle as ann_topk): ADC
-        # table-lookup scoring grafted from PQVectors.java:208-279
+        # table-lookup scoring grafted from PQVectors.java:208-279. Scans
+        # the PERSISTED structure (Grid.java:681-719 pq_cache idiom) — the
+        # plan shows a codes-table scan, never a retrain.
+        from jvector_spark.index.vectors import pq_load
         from jvector_spark.operators.pq import ann_topk_pq
 
         emb = _read(spark, sf, "embeddings")
         qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        t = ann_topk_pq(emb.filter(F.col("vec_id") != 0), list(qv), k=10)
+        books, codes = pq_load(spark, _pq_index_for(spark, sf))
+        t = ann_topk_pq(
+            emb.filter(F.col("vec_id") != 0), list(qv), k=10,
+            codes=codes, codebooks=books, deleted=_vec0_deleted(spark),
+        )
+        return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
+
+    def q_ann_topk_bq(spark, sf):
+        # 1-bit Binary Quantization tier (BinaryQuantization.java:88-110 /
+        # BQVectors.java:95-118): Hamming first pass over the persisted
+        # sign-bit codes (32× fewer scan bytes) + exact rerank — same
+        # exact-scan oracle as ann_topk (rank-identical with the BQ margin)
+        from jvector_spark.index.vectors import bq_load
+        from jvector_spark.operators.bq import ann_topk_bq
+
+        emb = _read(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        _, codes = bq_load(spark, _bq_index_for(spark, sf))
+        t = ann_topk_bq(
+            emb.filter(F.col("vec_id") != 0), list(qv), k=10,
+            codes=codes, deleted=_vec0_deleted(spark),
+        )
         return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
 
     def q_ann_topk_batch(spark, sf):
@@ -569,14 +658,17 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries + exact rerank of per-query candidates — must be
         # rank-identical to the exact batch scan (same oracle as
         # ann_topk_batch; the fast-vs-slow equivalence idiom,
-        # TestCompressedVectors.java:231)
+        # TestCompressedVectors.java:231). Codes come from the persisted
+        # structure (one build per sf_dir, one scan per batch).
+        from jvector_spark.index.vectors import sq8_load
         from jvector_spark.operators.similarity import ann_topk_sq8_batch
 
         emb = _read(spark, sf, "embeddings")
         qs = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
         )
-        t = ann_topk_sq8_batch(emb, qs, k=10)
+        params, codes = sq8_load(spark, _sq8_index_for(spark, sf))
+        t = ann_topk_sq8_batch(emb, qs, k=10, codes=codes, params=params)
         return t.select(
             "query_id", "rank", "vec_id", _u6(F.col("cos")).alias("cos_u6")
         )
@@ -694,6 +786,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_sq8": q_ann_topk_sq8,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_bq": q_ann_topk_bq,
         "ann_topk_batch": q_ann_topk_batch,
         "ann_topk_sq8_batch": q_ann_topk_sq8_batch,
         "scan_filter": q_scan_filter,
@@ -1074,6 +1167,9 @@ def oracle_sql() -> dict[str, str]:
         # PQ two-phase path must equal the exact scan bit-for-bit — same
         # oracle (ADC first pass + exact rerank, the 32x tier)
         "ann_topk_pq": _ANN_TOPK_SQL,
+        # BQ (1 bit/dim Hamming first pass + exact rerank) must also equal
+        # the exact scan — rank-identical at the pytest-sized rerank margin
+        "ann_topk_bq": _ANN_TOPK_SQL,
         "ann_topk_batch": _ANN_TOPK_BATCH_SQL,
         # batch SQ8 two-phase must equal the exact batch scan — same oracle
         "ann_topk_sq8_batch": _ANN_TOPK_BATCH_SQL,

@@ -87,6 +87,7 @@ HEADLINE = [
     "ann_topk_ivf",
     "ann_topk_sq8",
     "ann_topk_pq",
+    "ann_topk_bq",
     "ann_topk_batch",
     "ann_topk_sq8_batch",
     "embedding_near_dups_lsh",
@@ -145,6 +146,17 @@ def run_headline(spark) -> dict[str, float]:
     t0 = time.perf_counter()
     entry_mod._ivf_index_for(spark, SF_DIR)
     out["ivf_build"] = round(time.perf_counter() - t0, 4)
+    # persisted compressed-vector structures (train+encode once per sf_dir;
+    # the ann_topk_{sq8,pq,bq} entries below then time pure codes-scan
+    # queries — the serving shape, Grid.java:681-719 pq_cache idiom)
+    for tag, builder in (
+        ("pq_build", entry_mod._pq_index_for),
+        ("sq8_build", entry_mod._sq8_index_for),
+        ("bq_build", entry_mod._bq_index_for),
+    ):
+        t0 = time.perf_counter()
+        builder(spark, SF_DIR)
+        out[tag] = round(time.perf_counter() - t0, 4)
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()

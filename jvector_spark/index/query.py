@@ -600,6 +600,7 @@ def bm25_topk_indexed(
     global_stats: dict | None = None,
     global_df: DataFrame | None = None,
     query_buckets: int | None = None,
+    accept_ids: np.ndarray | None = None,
 ) -> DataFrame:
     """BM25 top-k over the index. ``prune=False`` is the relational exact
     path; ``prune=True`` runs Block-Max WAND (results must be identical —
@@ -613,7 +614,12 @@ def bm25_topk_indexed(
     df) override shard-local statistics so a shard of a sharded index
     scores with CORPUS-wide BM25 constants (format v2 derives block bounds
     from (max_tf, min_dl) + these stats at query time, so pruning stays
-    lossless under overridden stats too)."""
+    lossless under overridden stats too).
+
+    ``accept_ids`` (sorted int64 array) restricts results to those doc ids
+    INSIDE the WAND kernel (the Bits-acceptOrds mask, Q8) — the bucketed
+    gather then serves filtered batches with the same ≤ buckets× block
+    shuffle as unfiltered ones; only the pruned path supports it."""
     seg0 = read_segments(spark, index_dir)
     if global_stats:
         seg0 = {**seg0, **global_stats}
@@ -625,8 +631,12 @@ def bm25_topk_indexed(
             )
         from .docpart import bm25_topk_docpart
 
+        if accept_ids is not None:
+            raise ValueError("accept_ids not supported on doc-partitioned layout")
         return bm25_topk_docpart(spark, index_dir, qterms, k, prune)
     if not prune:
+        if accept_ids is not None:
+            raise ValueError("accept_ids requires the pruned (WAND) path")
         return bm25_topk_indexed_unpruned(
             spark, index_dir, qterms, k, offset, global_stats, global_df
         )
@@ -658,6 +668,11 @@ def bm25_topk_indexed(
         w, i_ = tmap.get(int(r.term_id), (0.0, float(r.idf)))
         tmap[int(r.term_id)] = (w + float(r.weight), i_)
     qids = sorted(qspec)
+    if not qids:
+        # no query term matched the dictionary (OOV batch, or a shard whose
+        # local vocabulary lacks every term): same empty result as the
+        # per-query grouping — never repartition(0), which raises
+        return spark.createDataFrame([], schema)
     if query_buckets is None:
         # bucket count sized by the QUERY BATCH, never by parallelism: the
         # shuffled volume is Σ_buckets |blocks(bucket's terms)| — hot Zipf
@@ -701,7 +716,7 @@ def bm25_topk_indexed(
         .applyInPandas(
             _wand_bucket_fn(
                 bq_bc, k, seg["k1"], seg["b"], seg["avgdl"],
-                with_metrics, dead, offset=offset,
+                with_metrics, dead, accept=accept_ids, offset=offset,
             ),
             schema=schema,
         )
@@ -787,6 +802,7 @@ def bm25_topk_indexed_filtered(
     accept: DataFrame,
     k: int = 10,
     accept_limit: int = ACCEPT_BROADCAST_LIMIT,
+    bucketed: bool = True,
 ) -> DataFrame:
     """Top-k restricted to the docs in ``accept`` (a DataFrame with a
     ``doc_id`` column — typically the output of any predicate over
@@ -801,7 +817,13 @@ def bm25_topk_indexed_filtered(
     *broad* predicate (> ``accept_limit`` ids) → relational plan: decode
     matched blocks, hash-join the accept set on doc_id (Catalyst/AQE pick
     broadcast vs shuffle), score JVM-side, window top-k. Both paths return
-    identical results (tested)."""
+    identical results (tested).
+
+    The selective path rides the BUCKETED gather (blocks ship ≤ buckets×,
+    not ≤ queries× — at a 5000-query filtered batch the per-query grouping
+    reintroduces the block-replication shuffle the bucketed path was built
+    to kill); ``bucketed=False`` keeps the per-query grouping as the
+    equivalence-tested fallback."""
     n_accept = accept.count()
     if n_accept <= accept_limit:
         ids = np.sort(
@@ -810,6 +832,10 @@ def bm25_topk_indexed_filtered(
                 dtype=np.int64,
             )
         )
+        if bucketed:
+            return bm25_topk_indexed(
+                spark, index_dir, qterms, k=k, prune=True, accept_ids=ids
+            )
         seg = read_segments(spark, index_dir)
         dead_set = tombstone_ids(spark, index_dir)
         dead = (

@@ -326,9 +326,12 @@ def dedup_components(
     actions of fixed job latency per fixpoint iteration — the same
     small-side principle as a broadcast join. Identical (doc_id, rep_id)
     output either way; the distributed loop remains the ≥100k-edge path."""
-    n_edges = pairs.count()
-    if n_edges <= int(local_edge_limit):
-        rows = pairs.select("a", "b").collect()
+    # ONE upstream execution decides the path AND supplies the edges: a
+    # limit(L+1) collect is bounded like count() but avoids running an
+    # unpersisted caller pipeline twice (and a nondeterministic upstream
+    # can't straddle a separate count/collect pair)
+    rows = pairs.select("a", "b").limit(int(local_edge_limit) + 1).collect()
+    if len(rows) <= int(local_edge_limit):
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:

@@ -91,6 +91,10 @@ def pq_train(
     bounded deterministic sample of L2-NORMALIZED vectors. ``m`` defaults
     to dim/8 (the reference Bench default: PQ m = dim/8, k = 256 —
     Bench.java:45-76); dim must divide evenly by ``m``."""
+    if not 1 <= int(n_clusters) <= 256:
+        # codes are uint8 — more than 256 clusters would silently wrap
+        # modulo 256 and corrupt every ADC score downstream
+        raise ValueError(f"n_clusters must be in [1, 256], got {n_clusters}")
     pdf = (
         embeddings.select(id_col, vec_col)
         .orderBy(id_col)
@@ -114,18 +118,82 @@ def pq_train(
     return np.stack([b[:k] for b in books])
 
 
+def _encode_batch(X: np.ndarray, B: np.ndarray, bsq: np.ndarray) -> np.ndarray:
+    """Nearest-centroid codes for a normalized batch: one argmin GEMM per
+    subspace (the plain MSE encoder)."""
+    m, _, dsub = B.shape
+    codes = np.empty((len(X), m), dtype=np.uint8)
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        d = bsq[s] - 2.0 * (sub @ B[s].T)
+        codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
+    return codes
+
+
+def _encode_batch_anisotropic(
+    X: np.ndarray, B: np.ndarray, bsq: np.ndarray, eta: float, n_passes: int = 3
+) -> np.ndarray:
+    """Anisotropic coordinate-descent code assignment — the graft of the
+    reference's accuracy-per-byte encoder (ProductQuantization.java:244-424,
+    following Guo et al.'s ScaNN anisotropic loss): reconstruction error
+    PARALLEL to the vector is weighted ``eta`` × the orthogonal error, so
+    at the same byte budget the codes preferentially preserve inner
+    products (what ADC actually scores) over generic MSE.
+
+    For unit x with reconstruction r and residual e = x − r the loss is
+    η·(e·x)² + (|e|² − (e·x)²) = (η−1)(e·x)² + |e|². Holding the other
+    subspaces fixed, the per-subspace candidate objective reduces to
+    f(b) = (η−1)·(C_other + |x_s|² − b·x_s)² + |b|² − 2·b·x_s, fully
+    vectorized over (batch × candidates); passes sweep subspaces until the
+    assignment stabilizes (init = nearest-centroid)."""
+    m, k, dsub = B.shape
+    n = len(X)
+    codes = _encode_batch(X, B, bsq).astype(np.int64)
+    # per-subspace stats under the current assignment
+    xsq = np.empty((n, m))  # |x_s|²
+    dots = np.empty((n, m))  # b_s · x_s for the chosen codes
+    dot_tables = []  # (n, k) per subspace: all candidate dots
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        xsq[:, s] = (sub**2).sum(axis=1)
+        t = sub @ B[s].T
+        dot_tables.append(t)
+        dots[:, s] = t[np.arange(n), codes[:, s]]
+    rows = np.arange(n)
+    for _ in range(n_passes):
+        changed = 0
+        for s in range(m):
+            t = dot_tables[s]  # (n, k)
+            c_other = (xsq.sum(axis=1) - xsq[:, s]) - (dots.sum(axis=1) - dots[:, s])
+            g = c_other[:, None] + xsq[:, s, None] - t  # residual·x if b chosen
+            f = (eta - 1.0) * g**2 + bsq[s][None, :] - 2.0 * t
+            new = np.argmin(f, axis=1)
+            changed += int((new != codes[:, s]).sum())
+            codes[:, s] = new
+            dots[:, s] = t[rows, new]
+        if changed == 0:
+            break
+    return codes.astype(np.uint8)
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    anisotropic_eta: float | None = None,
 ) -> DataFrame:
     """(id, codes binary) — ``m`` uint8 codes per vector: nearest codebook
     entry per subspace, one argmin GEMM per (Arrow batch × subspace).
-    m = dim/8 → 32× smaller than float32 (the README.md:166-170 headline)."""
+    m = dim/8 → 32× smaller than float32 (the README.md:166-170 headline).
+    ``anisotropic_eta`` (e.g. 4.0) switches to the anisotropic
+    coordinate-descent assignment (see :func:`_encode_batch_anisotropic`)."""
     B = np.ascontiguousarray(codebooks, dtype=np.float64)  # (m, k, dsub)
     m, _, dsub = B.shape
+    if B.shape[1] > 256:
+        raise ValueError(f"codebooks have {B.shape[1]} clusters; uint8 codes cap at 256")
     bsq = (B**2).sum(axis=2)  # (m, k)
+    eta = anisotropic_eta
 
     def fn(it):
         for pdf in it:
@@ -133,11 +201,11 @@ def pq_encode(
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            codes = np.empty((len(X), m), dtype=np.uint8)
-            for s in range(m):
-                sub = X[:, s * dsub : (s + 1) * dsub]
-                d = bsq[s] - 2.0 * (sub @ B[s].T)
-                codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
+            codes = (
+                _encode_batch(X, B, bsq)
+                if eta is None
+                else _encode_batch_anisotropic(X, B, bsq, float(eta))
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -189,6 +257,7 @@ def ann_topk_pq(
     codes: DataFrame | None = None,
     codebooks: np.ndarray | None = None,
     m: int | None = None,
+    deleted: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -198,7 +267,10 @@ def ann_topk_pq(
     the SQ8 tier: with the default margin the result is rank-identical to
     ``cosine_topk`` (hash-checked vs the same oracle). ``codes``/
     ``codebooks`` accept a pre-built structure (at scale: train + encode
-    once, scan codes per query batch)."""
+    once, scan codes per query batch). ``deleted`` is the tombstone
+    relation (M1 mask, same contract as every other ANN tier): those ids
+    drop off the compressed scan before candidate selection, so they
+    neither surface nor consume rerank budget."""
     if rerank is None:
         rerank = max(PQ_RERANK_FLOOR, PQ_RERANK_FACTOR * k)
     if codebooks is None:
@@ -206,6 +278,10 @@ def ann_topk_pq(
     if codes is None:
         codes = pq_encode(embeddings, codebooks, id_col, vec_col)
     approx = pq_approx_scores(codes, codebooks, query_vec, id_col)
+    if deleted is not None:
+        approx = approx.join(
+            F.broadcast(deleted.select(id_col)), id_col, "left_anti"
+        )
     cand_ids = (
         approx.orderBy(F.desc("approx"), F.asc(id_col))
         .limit(int(rerank))

@@ -647,7 +647,47 @@ def ivf_build(
     ivf_assign(embeddings, cents, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cluster").parquet(os.path.join(index_dir, "assignments"))
+    # k-row sidecar of per-cluster LIVE counts: the probe-adaptive query
+    # path reads this instead of re-aggregating the full assignments scan
+    # per query; extend appends positive deltas, delete appends negatives
+    # (readers sum), so the mass-coverage knob never counts dead docs
+    _write_cluster_size_delta(
+        spark.read.parquet(os.path.join(index_dir, "assignments"))
+        .groupBy("cluster").agg(F.count("*").alias("n")),
+        index_dir, mode="overwrite",
+    )
     return cents
+
+
+def _write_cluster_size_delta(delta: DataFrame, index_dir: str, mode: str = "append") -> None:
+    import os
+
+    delta.select(
+        F.col("cluster").cast("int"), F.col("n").cast("long")
+    ).coalesce(1).write.mode(mode).parquet(os.path.join(index_dir, "cluster_sizes"))
+
+
+def ivf_cluster_sizes(spark, index_dir: str) -> dict[int, int]:
+    """Per-cluster LIVE vector counts — a k-row read of the persisted
+    sidecar (build/extend/delete each append deltas; readers sum). Falls
+    back to aggregating the assignments scan minus tombstones for index
+    dirs built before the sidecar existed."""
+    import os
+
+    path = os.path.join(index_dir, "cluster_sizes")
+    if os.path.isdir(path) and os.listdir(path):
+        rows = (
+            spark.read.parquet(path)
+            .groupBy("cluster").agg(F.sum("n").alias("n")).collect()
+        )
+        return {int(r.cluster): int(r.n) for r in rows}
+    assignments = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    tomb = _ivf_tombstones(spark, index_dir)
+    if tomb is not None:
+        key = tomb.columns[0]
+        assignments = assignments.join(F.broadcast(tomb.select(key)), key, "left_anti")
+    rows = assignments.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    return {int(r.cluster): int(r.n) for r in rows}
 
 
 def ivf_extend(
@@ -674,6 +714,12 @@ def ivf_extend(
     delta.write.mode("append").partitionBy("cluster").parquet(
         os.path.join(index_dir, "assignments")
     )
+    # keep the k-row live-count sidecar current (appended delta; readers
+    # sum) — ivf_assign is deterministic on fixed centroids, so this
+    # re-execution emits the same assignment the write persisted
+    _write_cluster_size_delta(
+        delta.groupBy("cluster").agg(F.count("*").alias("n")), index_dir
+    )
     return int(n)
 
 
@@ -685,9 +731,24 @@ def ivf_delete(spark, index_dir: str, ids, id_col: str = "vec_id") -> None:
     analog."""
     import os
 
-    spark.createDataFrame(
-        [(int(i),) for i in ids], f"{id_col} long"
-    ).write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+    tomb = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long").distinct()
+    prior = _ivf_tombstones(spark, index_dir)
+    if prior is not None:
+        # re-deleting an id must not double-count the sidecar negative
+        tomb = tomb.join(F.broadcast(prior.select(id_col)), id_col, "left_anti")
+    tomb = tomb.persist()
+    tomb.write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+    # negative deltas keep the live-count sidecar honest (the deleted ids'
+    # clusters come from one broadcast semi-join against assignments —
+    # bounded by the delete batch, and deletes are rare)
+    dead_clusters = (
+        spark.read.parquet(os.path.join(index_dir, "assignments"))
+        .join(F.broadcast(tomb), id_col)
+        .groupBy("cluster")
+        .agg((-F.count("*")).alias("n"))
+    )
+    _write_cluster_size_delta(dead_clusters, index_dir)
+    tomb.unpersist()
 
 
 def _ivf_tombstones(spark, index_dir: str) -> DataFrame | None:
@@ -733,7 +794,8 @@ def ivf_topk_indexed(
     index defect — so mass-coverage is the honest guarantee knob: it
     over-probes benignly on clustered data (where a few clusters already
     hold the neighbors) and delivers the floor on noise. Cluster sizes
-    come from the parquet-partition row counts (k-row aggregate)."""
+    come from the persisted k-row ``cluster_sizes`` sidecar (maintained by
+    build/extend/delete, so tombstoned rows never count toward mass)."""
     import os
 
     C = ivf_read_centroids(spark, index_dir)
@@ -742,10 +804,7 @@ def ivf_topk_indexed(
     order = np.argsort(-(C @ q), kind="stable")
     assignments = spark.read.parquet(os.path.join(index_dir, "assignments"))
     if n_probe is None:
-        sizes = {
-            int(r.cluster): int(r.n)
-            for r in assignments.groupBy("cluster").agg(F.count("*").alias("n")).collect()
-        }
+        sizes = ivf_cluster_sizes(spark, index_dir)
         total = max(1, sum(sizes.values()))
         need = float(target_recall) * total
         probes, acc = [], 0

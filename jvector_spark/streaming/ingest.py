@@ -136,6 +136,31 @@ def staged_docs(spark: SparkSession, index_dir: str) -> DataFrame | None:
     )
 
 
+def _prune_committed_staging(index_dir: str, committed: set[int]) -> int:
+    """Reclaim orphaned ``stream_staging/batch_id=N`` dirs whose batch is
+    already committed — a crash between flush_staged's 'complete' lineage
+    write and its staging cleanup would otherwise leak those dirs forever
+    (unbounded disk growth across restarts). Idempotent; returns the number
+    of dirs removed."""
+    import shutil
+
+    staging = os.path.join(index_dir, "stream_staging")
+    if not os.path.isdir(staging):
+        return 0
+    removed = 0
+    for name in os.listdir(staging):
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid in committed:
+            shutil.rmtree(os.path.join(staging, name), ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def flush_staged(
     spark: SparkSession,
     index_dir: str,
@@ -158,6 +183,7 @@ def flush_staged(
     from ..index.extend import extend_index
 
     committed, in_flight, staged = _batch_states(spark, index_dir)
+    _prune_committed_staging(index_dir, committed)
     if in_flight:
         raise RuntimeError(
             f"stream_lineage shows batch(es) {sorted(in_flight)} pending "
@@ -247,6 +273,7 @@ def stream_index_transcripts(
         if batch.isEmpty():
             return
         committed, in_flight, staged = _batch_states(s, index_dir)
+        _prune_committed_staging(index_dir, committed)
         if batch_id in committed or batch_id in staged:
             return  # replayed after failure — already durably applied/staged
         if in_flight:

@@ -201,14 +201,32 @@ def test_filtered_topk_both_paths_equal_bruteforce(spark, corpus, index_dir, que
         .filter(F.col("rank") <= 10)
         .collect()
     }
-    for limit, tag in ((10**9, "wand-mask"), (0, "relational")):
+    for limit, bucketed, tag in (
+        (10**9, True, "wand-mask-bucketed"),
+        (10**9, False, "wand-mask-perquery"),
+        (0, True, "relational"),
+    ):
         got = {
             (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
             for r in bm25_topk_indexed_filtered(
-                spark, index_dir, qdf, accept, k=10, accept_limit=limit
+                spark, index_dir, qdf, accept, k=10, accept_limit=limit,
+                bucketed=bucketed,
             ).collect()
         }
         assert got == want, tag
+
+
+def test_oov_query_batch_returns_empty(spark, index_dir):
+    """A batch whose terms all miss the dictionary must return an empty
+    frame with the declared schema on the bucketed WAND path (regression:
+    query_buckets=0 → repartition(0) raised IllegalArgumentException)."""
+    from jvector_spark.index.query import bm25_topk_indexed
+    from jvector_spark.operators.topk import queries_df
+
+    qdf = queries_df(spark, [(0, ["zzzznotaterm"]), (1, ["alsonotaterm"])])
+    out = bm25_topk_indexed(spark, index_dir, qdf, k=10, prune=True)
+    assert out.columns == ["query_id", "rank", "doc_id", "score"]
+    assert out.count() == 0
 
 
 def test_single_shot_build_equals_checkpointed(spark, corpus, index_dir, query_set, tmp_path):

@@ -300,3 +300,46 @@ def test_ivf_indexed_probe_prunes_partitions(spark, embeddings, tmp_path):
     # appears on the assignments side (it is a pure parquet scan)
     got = df.count()
     assert got > 0
+
+
+def test_cluster_sizes_sidecar_tracks_build_extend_delete(spark, embeddings, tmp_path):
+    """The persisted k-row ``cluster_sizes`` sidecar must equal the actual
+    live per-cluster counts after build, extend, and delete — so the
+    probe-adaptive mass knob reads k rows instead of re-aggregating the
+    assignments scan per query, and never counts tombstoned docs."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.similarity import (
+        ivf_build,
+        ivf_cluster_sizes,
+        ivf_delete,
+        ivf_extend,
+    )
+
+    d = str(tmp_path / "ivf_sizes")
+    first = embeddings.filter(F.col("vec_id") < 1500)
+    rest = embeddings.filter(F.col("vec_id") >= 1500)
+    ivf_build(first, d, n_clusters=8, n_iters=4, seed=77)
+
+    def live_counts(dead=()):
+        a = spark.read.parquet(d + "/assignments")
+        if dead:
+            a = a.filter(~F.col("vec_id").isin(list(dead)))
+        return {
+            int(r.cluster): int(r.n)
+            for r in a.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+        }
+
+    assert ivf_cluster_sizes(spark, d) == live_counts()
+    ivf_extend(rest, d)
+    assert ivf_cluster_sizes(spark, d) == live_counts()
+    dead = [3, 7, 11]
+    ivf_delete(spark, d, dead)
+    got = ivf_cluster_sizes(spark, d)
+    want = live_counts(dead)
+    # zero-count clusters may drop out of either map — compare non-zero
+    assert {k: v for k, v in got.items() if v} == {k: v for k, v in want.items() if v}
+    # re-deleting the same ids must not double-count the negatives
+    ivf_delete(spark, d, dead)
+    got2 = ivf_cluster_sizes(spark, d)
+    assert {k: v for k, v in got2.items() if v} == {k: v for k, v in want.items() if v}

@@ -315,3 +315,35 @@ def test_conversation_progress_state_carries_across_batches(
     )
     assert diff == 0
     assert final.count() == want.count()
+
+
+def test_orphaned_committed_staging_is_pruned(spark, stream_pdf, tmp_path_factory):
+    """A crash between flush_staged's 'complete' lineage write and its
+    staging cleanup leaves an orphaned stream_staging/batch_id=N dir; the
+    next flush (or stream start) must reclaim it instead of leaking disk
+    forever — and staged_docs must never resurface it."""
+    from jvector_spark.streaming import (
+        flush_staged,
+        staged_docs,
+        stream_index_transcripts,
+    )
+
+    root = str(tmp_path_factory.mktemp("stream_orphan"))
+    src = os.path.join(root, "src")
+    idx = os.path.join(root, "idx")
+    ckpt = os.path.join(root, "ckpt")
+    _write_chunks(stream_pdf, src, n_chunks=3)
+    stream_index_transcripts(
+        spark, src, idx, ckpt, n_parts=2, max_files_per_trigger=1,
+        merge_every=10,
+    )
+    flush_staged(spark, idx)
+    # simulate the crash: resurrect a staging dir for an already-committed
+    # batch (the state a mid-cleanup crash leaves behind)
+    orphan = os.path.join(idx, "stream_staging", "batch_id=1")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-orphan.parquet"), "wb") as f:
+        f.write(b"not-read")
+    assert staged_docs(spark, idx) is None  # committed → not a memtable row
+    flush_staged(spark, idx)
+    assert not os.path.exists(orphan)
