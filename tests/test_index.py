@@ -103,6 +103,47 @@ def test_bucketed_gather_invariant_to_bucket_count(spark, index_dir, query_set):
     assert [t for t in page if t[1] <= 10] == [t for t in base if t[1] > 5]
 
 
+def test_paged_search_retained_state(spark, index_dir, query_set):
+    """Retained-state pagination (Q9 resume, GraphSearcher.java:489-527):
+    pages must tile the one-shot deep top-k exactly, in-depth pages must
+    NOT re-run the kernel, and paging past the horizon must recompute
+    once (geometric doubling) and release the stale persisted state."""
+    from jvector_spark.index.paging import PagedSearch
+    from jvector_spark.index.query import bm25_topk_indexed
+    from jvector_spark.operators.topk import queries_df
+
+    qdf = queries_df(
+        spark, list(zip(query_set["query_id"], [list(t) for t in query_set["terms"]]))
+    )
+    calls: list[int] = []
+
+    def search(k: int):
+        calls.append(k)
+        return bm25_topk_indexed(spark, index_dir, qdf, k=k)
+
+    deep = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 12))
+        for r in bm25_topk_indexed(spark, index_dir, qdf, k=40).collect()
+    }
+    ps = PagedSearch(search, page_size=5, depth=20)
+    for i in range(4):  # ranks 1..20: inside the initial horizon
+        got = {
+            (r.query_id, r.rank): (r.doc_id, round(r.score, 12))
+            for r in ps.next_page().collect()
+        }
+        assert got == {kk: v for kk, v in deep.items() if 5 * i < kk[1] <= 5 * (i + 1)}
+    assert calls == [20] and ps.recomputes == 1
+    got = {  # rank 21-25: past the horizon -> ONE doubling recompute
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 12))
+        for r in ps.page(4).collect()
+    }
+    assert got == {kk: v for kk, v in deep.items() if 20 < kk[1] <= 25}
+    assert calls == [20, 40] and ps.recomputes == 2
+    ps.page(0)  # back-paging stays a slice, no recompute
+    assert len(calls) == 2
+    ps.close()
+
+
 def test_wand_prunes_blocks(spark, index_dir, query_set):
     from jvector_spark.index.query import bm25_topk_indexed
     from jvector_spark.operators.topk import queries_df
