@@ -236,12 +236,18 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 1234,
+    deleted: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via OR-amplified multi-band hyperplane LSH: a
     vector is a candidate iff it shares its bucket with the query in AT
     LEAST ONE band (the b×r banding construction — the same amplification
     MinHash LSH uses; round 1's single AND-band missed ~60% of neighbors).
     Candidates are then scored exactly.
+
+    ``deleted`` is the M1 tombstone relation (``markNodeDeleted``,
+    GraphIndexBuilder.java — same mask contract as the SQ8/PQ/IVF tiers):
+    tombstoned ids are dropped before scoring via a broadcast anti-join,
+    so they neither surface nor displace live candidates.
 
     At cluster scale the exploded (band, bucket) relation is stored
     partitioned by (band, bucket); a query touches ``bands`` partitions.
@@ -266,6 +272,10 @@ def cosine_topk_lsh(
         cond = keys[i] == F.lit(qk)
         match = cond if match is None else (match | cond)
     cand = embeddings.filter(match)
+    if deleted is not None:
+        cand = cand.join(
+            F.broadcast(deleted.select(id_col)), id_col, "left_anti"
+        )
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 

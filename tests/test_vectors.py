@@ -293,35 +293,71 @@ def test_bq_build_load_extend_indexed(spark, embeddings, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("tier", ["pq", "sq8", "bq"])
+@pytest.mark.parametrize("tier", ["pq", "sq8", "bq", "ivf"])
 def test_vector_delete_survivors_equal_exact_live_scan(spark, embeddings, tmp_path, tier):
-    """After vector_delete, every indexed tier must answer exactly the
-    exact scan over LIVE rows — tombstoned ids neither surface nor consume
-    rerank budget (closes the M1 asymmetry across sq8/pq/bq; the IVF twin
-    lives in test_ivf.py)."""
+    """After a tombstone delete, every persisted ANN tier must answer
+    exactly the exact scan over LIVE rows — tombstoned ids neither surface
+    nor consume rerank budget (M1 parity across sq8/pq/bq/ivf; IVF runs at
+    full probe so its candidate set is the whole live corpus)."""
     from jvector_spark.index import vectors as V
+    from jvector_spark.operators import similarity as S
 
-    build = {"pq": V.pq_build, "sq8": V.sq8_build, "bq": V.bq_build}[tier]
-    query = {
-        "pq": V.ann_topk_pq_indexed,
-        "sq8": V.ann_topk_sq8_indexed,
-        "bq": V.ann_topk_bq_indexed,
-    }[tier]
+    if tier == "ivf":
+        build = lambda emb, d: S.ivf_build(emb, d, n_clusters=8, n_iters=4, seed=77)
+        query = lambda sp, d, emb, qv, k: S.ivf_topk_indexed(
+            sp, d, emb, qv, k=k, n_probe=8
+        )
+        delete = lambda sp, d, ids: S.ivf_delete(sp, d, ids)
+    else:
+        build = {"pq": V.pq_build, "sq8": V.sq8_build, "bq": V.bq_build}[tier]
+        query = {
+            "pq": V.ann_topk_pq_indexed,
+            "sq8": V.ann_topk_sq8_indexed,
+            "bq": V.ann_topk_bq_indexed,
+        }[tier]
+        delete = V.vector_delete
 
     d = str(tmp_path / f"del_{tier}")
     build(embeddings, d)
     qv = _qvec(embeddings, 0)
     # delete the query vector and the exact-scan top-3 — the new answer
     # must be the exact scan over the survivors
-    top = [r.vec_id for r in query(spark, d, embeddings, qv, k=4).collect()]
+    top = [r.vec_id for r in query(spark, d, embeddings, qv, 4).collect()]
     dead = set(top[:3]) | {0}
-    V.vector_delete(spark, d, dead)
+    delete(spark, d, dead)
 
     live = embeddings.filter(~F.col("vec_id").isin(list(dead)))
     got = [
         (r.rank, r.vec_id, round(r.cos, 9))
-        for r in query(spark, d, embeddings, qv, k=10).collect()
+        for r in query(spark, d, embeddings, qv, 10).collect()
     ]
     assert got == _exact_topk(live, qv)
     for vid in dead:
         assert vid not in {v for _, v, _ in got}
+
+
+def test_lsh_delete_mask_equals_prefiltered_corpus(spark, embeddings):
+    """The LSH tier's M1 contract: masking tombstones at query time must
+    equal running the same (approximate) search over a pre-filtered live
+    corpus — deleted ids never surface and never displace live candidates.
+    (Exact-scan parity is not the right oracle for an approximate tier;
+    mask ≡ pre-filter is, and it completes the sq8/pq/bq/ivf/lsh delete
+    matrix.)"""
+    from jvector_spark.operators.similarity import cosine_topk_lsh
+
+    qv = _qvec(embeddings, 0)
+    base = embeddings.filter(F.col("vec_id") != 0)
+    top = [r.vec_id for r in cosine_topk_lsh(base, qv, k=3).collect()]
+    deleted = spark.createDataFrame([(int(v),) for v in top], "vec_id long")
+
+    got = [
+        (r.rank, r.vec_id, round(r.cos, 9))
+        for r in cosine_topk_lsh(base, qv, k=10, deleted=deleted).collect()
+    ]
+    live = base.filter(~F.col("vec_id").isin([int(v) for v in top]))
+    want = [
+        (r.rank, r.vec_id, round(r.cos, 9))
+        for r in cosine_topk_lsh(live, qv, k=10).collect()
+    ]
+    assert got == want
+    assert not {v for _, v, _ in got} & set(top)
