@@ -52,9 +52,13 @@ SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "720000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 # corpus size for the multi-process sharded (executor-analog) experiment:
-# 4× the core-scaling corpus so each shard process carries enough work to
-# amortize its fixed per-job costs (the regime any real 100 TB build is in)
-SHARD_TURNS = int(os.environ.get("SPARK_GRAFT_SHARD_TURNS", "2880000"))
+# 2× the core-scaling corpus: enough work per shard process to amortize
+# fixed per-job costs (post-r3 fixes F ≈ 7 s vs ~55 s of 1-core work per
+# 360k-turn shard → predicted idle-pair efficiency ≈ 0.85-0.9), while a
+# slow-host-window pair still completes inside the per-job timeout — at
+# the old 2.88M the round-4 lo leg blew a 1200 s timeout during a ~2.3×
+# host-contention window and the round lost its scaling artifact.
+SHARD_TURNS = int(os.environ.get("SPARK_GRAFT_SHARD_TURNS", "1440000"))
 # enough queries that per-query WAND compute, not job-submission overhead,
 # dominates the timed region (ThroughputBenchmark-style parallel stream)
 N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "5000"))
@@ -102,17 +106,48 @@ HEADLINE = [
 def _shutdown_jvm_gateway() -> None:
     """Tear down the py4j gateway JVM after SparkSession.stop() — the JVM
     process (and its resident heap) otherwise survives the session and
-    sits on the box through subsequent subprocess measurements."""
+    sits on the box through subsequent subprocess measurements. Round-4
+    lesson: ``gw.shutdown()`` alone closed the socket but LEFT THE JVM
+    PROCESS ALIVE (observed holding 5.7 GB through the scaling sections),
+    so the launcher Popen handle is killed explicitly."""
     from pyspark import SparkContext
 
     gw = SparkContext._gateway
     if gw is not None:
+        proc = getattr(gw, "proc", None)
         try:
             gw.shutdown()
         except Exception:
             pass
+        if proc is not None:
+            try:
+                proc.kill()
+                proc.wait(timeout=10)
+            except Exception:
+                pass
     SparkContext._gateway = None
     SparkContext._jvm = None
+
+
+def _communicate_or_killpg(proc, timeout: float):
+    """``proc.communicate`` with a REAL timeout: on expiry the whole
+    process GROUP is killed (the Spark JVM and python workers are
+    grandchildren — ``Popen.communicate``'s TimeoutExpired leaves every
+    one of them running; round 4 measured a timed-out shard JVM building
+    on for another ~8 minutes THROUGH the next section's timings). The
+    caller must have started ``proc`` with ``start_new_session=True``."""
+    import signal
+    import subprocess
+
+    try:
+        return proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        proc.wait()
+        raise
 
 
 def _sf_of(path: str) -> float:
@@ -198,7 +233,10 @@ def accuracy_and_pruning(spark) -> dict:
 
     exact_df = _ranked(qs["ann_topk"](spark, SF_DIR)).cache()
     recall, maps = {}, {}
-    for tier in ("ann_topk_lsh", "ann_topk_ivf", "ann_topk_sq8", "ann_topk_pq"):
+    for tier in (
+        "ann_topk_lsh", "ann_topk_ivf", "ann_topk_sq8", "ann_topk_pq",
+        "ann_topk_bq",
+    ):
         got_df = _ranked(qs[tier](spark, SF_DIR))
         recall[tier] = round(
             mean_metric(recall_at_k(got_df, exact_df, 10, "vec_id"), "recall"), 3
@@ -263,9 +301,35 @@ def clustered_recall(spark) -> dict:
             for r in ivf_topk_indexed(spark, d, base, qv, k=10, n_probe=4).collect()
         }
         recalls.append(len(want & got) / 10)
-    emb.unpersist()
     shutil.rmtree(d, ignore_errors=True)
-    return {"ann_topk_ivf_probe4of20": round(sum(recalls) / len(recalls), 3)}
+
+    # Anisotropic vs plain PQ at the SAME byte budget (m=4 × 1 B on dim 32
+    # = 32×) and a TIGHT rerank (2k): the recall-per-byte comparison of
+    # ProductQuantization.java:244-424 — parallel-error weighting preserves
+    # inner products, which only shows on structured (clustered) data.
+    from jvector_spark.operators.pq import ann_topk_pq, pq_encode, pq_train
+
+    books = pq_train(emb, seed=99)
+    out = {"ann_topk_ivf_probe4of20": round(sum(recalls) / len(recalls), 3)}
+    for tag, eta in (("pq_plain", None), ("pq_aniso_eta4", 4.0)):
+        codes = pq_encode(emb, books, anisotropic_eta=eta).cache()
+        codes.count()
+        recs = []
+        for qid in (0, 400, 1777, 3500, 4999):
+            qv = [float(x) for x in X[qid]]
+            base = emb.filter(F.col("vec_id") != qid)
+            want = {r.vec_id for r in cosine_topk(base, qv, k=10).collect()}
+            got = {
+                r.vec_id
+                for r in ann_topk_pq(
+                    base, qv, k=10, rerank=20, codes=codes, codebooks=books
+                ).collect()
+            }
+            recs.append(len(want & got) / 10)
+        codes.unpersist()
+        out[f"{tag}_rerank2k_recall_at_10"] = round(sum(recs) / len(recs), 3)
+    emb.unpersist()
+    return out
 
 
 def sq8_compression(spark) -> dict:
@@ -419,6 +483,28 @@ def recall_qps_grid(spark) -> dict:
         }
         grid[f"pq_rerank_{r}"] = _point(NQ_LOOP, time.perf_counter() - t0, got, want)
     pcodes.unpersist()
+
+    # BQ (1 bit/dim — the memory-floor tier): sign codes built once, sweep
+    # the rerank margin; on noise the needed margin grows with N (see
+    # operators/bq.py docstring), so the low point is expected to sag —
+    # that sag IS the measurement.
+    from jvector_spark.operators.bq import ann_topk_bq, bq_encode
+
+    bcodes = bq_encode(emb).cache()
+    bcodes.count()
+    for r in (128, 512):
+        t0 = time.perf_counter()
+        got = {
+            int(qr.vec_id): [
+                int(x.vec_id)
+                for x in ann_topk_bq(
+                    emb, list(qr.embedding), k=K, rerank=r, codes=bcodes
+                ).collect()
+            ]
+            for qr in loop_q
+        }
+        grid[f"bq_rerank_{r}"] = _point(NQ_LOOP, time.perf_counter() - t0, got, want)
+    bcodes.unpersist()
 
     # IVF: persisted partition-pruned index, sweep n_probe
     d = tempfile.mkdtemp(prefix="jv_grid_ivf_")
@@ -801,10 +887,15 @@ def sharded_scaling(
                      str(i), str(n_shards), cores_pp, src, workdir,
                      str(offsets[i])],
                     stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-                    env=env,
+                    env=env, start_new_session=True,
                 )
             )
-        deadline = time.time() + 1200
+        # per-level timeout: env-tunable ceiling, shrunk to the remaining
+        # budget so one stuck level can never eat the whole artifact. On
+        # expiry the process GROUP dies — a timed-out shard JVM must not
+        # keep building through the next level's timings (round-4 lesson).
+        level_timeout = float(os.environ.get("SPARK_GRAFT_SHARD_TIMEOUT", "1800"))
+        deadline = time.time() + min(level_timeout, 600)
         while time.time() < deadline:
             if all(
                 os.path.exists(os.path.join(workdir, f"ready_{n_shards}_{i}"))
@@ -813,22 +904,45 @@ def sharded_scaling(
                 break
             time.sleep(0.2)
         open(os.path.join(workdir, f"go_{n_shards}"), "w").close()
-        results = []
+        results, first_err = [], None
+        hard_deadline = time.time() + level_timeout
         for p in procs:
-            so, se = p.communicate(timeout=1200)
+            try:
+                so, se = _communicate_or_killpg(
+                    p, max(30.0, hard_deadline - time.time())
+                )
+            except subprocess.TimeoutExpired:
+                first_err = first_err or f"shard job pid={p.pid} timed out"
+                continue
             lines = [l for l in so.splitlines() if l.startswith("SHARDRESULT ")]
             if not lines:
-                raise RuntimeError(f"shard job failed: {se[-1500:]}")
+                first_err = first_err or f"shard job failed: {se[-1500:]}"
+                continue
             results.append(json.loads(lines[-1][len("SHARDRESULT "):]))
+        for p in procs:  # no survivors past a failed level
+            if p.poll() is None:
+                try:
+                    os.killpg(p.pid, 9)
+                except Exception:
+                    pass
+        if len(results) < n_shards:
+            raise RuntimeError(first_err or "shard level incomplete")
         return results
 
     pair_rows = []
     lo_runs, hi_runs = [], []
+    errors: list[str] = []
     for pair_i in range(pairs_n):
-        if pair_i >= 2 and stop_when is not None and stop_when():
+        if pair_i >= 1 and stop_when is not None and stop_when():
             break
-        lo_res = run_level(1)
-        hi_res = run_level(4)
+        # a failed pair records its error and keeps every completed pair —
+        # losing pair 3 must not erase pairs 1-2 from the artifact
+        try:
+            lo_res = run_level(1)
+            hi_res = run_level(4)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"pair {pair_i}: {e}"[:300])
+            continue
         lo_wall = max(r["build_sec"] for r in lo_res)
         hi_wall = max(r["build_sec"] for r in hi_res)
         lo_runs.append((lo_wall, lo_res))
@@ -840,6 +954,10 @@ def sharded_scaling(
                 "efficiency": round(lo_wall / (4 * hi_wall), 3),
             }
         )
+    if errors:
+        out["pair_errors"] = errors
+    if not pair_rows:
+        raise RuntimeError(f"no sharded pair completed: {errors}")
     for key, runs in (("lo", lo_runs), ("hi", hi_runs)):
         wall, best = min(runs, key=lambda t: t[0])
         out[key] = {
@@ -1058,7 +1176,7 @@ def main() -> None:
         def _sharded():
             sh = sharded_scaling(
                 shard_src, workdir, shard_counts,
-                stop_when=lambda: remaining() < 900,
+                stop_when=lambda: remaining() < 1100,
             )
             shard_dirs.extend(sh.pop("shard_dirs", []))
             result["scaling_sharded"] = sh
@@ -1078,25 +1196,40 @@ def main() -> None:
             }
 
             def one(cores: int) -> dict:
-                proc = subprocess.run(
+                # leg timeout shrinks to the remaining budget: one slow leg
+                # (host contention window) must cost its pair, not the
+                # artifact — and its process GROUP dies with it, so a
+                # straggler JVM can't keep building through later timings
+                proc = subprocess.Popen(
                     [sys.executable, os.path.abspath(__file__), "--job",
                      str(cores), src, workdir],
-                    capture_output=True, text=True, timeout=2400,
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                    start_new_session=True,
                     env={**os.environ, "SPARK_GRAFT_INCLUDE_DP":
                          "1" if with_dp else "0"},
                 )
-                line = [l for l in proc.stdout.splitlines()
+                so, se = _communicate_or_killpg(
+                    proc, min(2400.0, max(300.0, remaining() - 60))
+                )
+                line = [l for l in so.splitlines()
                         if l.startswith("JOBRESULT ")]
                 if not line:
                     raise RuntimeError(
-                        f"scaling job cores={cores} failed: {proc.stderr[-2000:]}")
+                        f"scaling job cores={cores} failed: {se[-2000:]}")
                 return json.loads(line[-1][len("JOBRESULT "):])
 
             lo_runs, hi_runs, pair_rows = [], [], []
             for pair_i in range(SCALE_REPEATS):
                 if pair_i >= 1 and remaining() < 600:
                     break
-                lo, hi = one(SCALE_LO), one(SCALE_HI)
+                try:
+                    lo, hi = one(SCALE_LO), one(SCALE_HI)
+                except Exception as e:  # noqa: BLE001
+                    # keep completed pairs; a lost leg costs only its pair
+                    scaling.setdefault("pair_errors", []).append(
+                        f"pair {pair_i}: {e}"[:300]
+                    )
+                    break
                 lo_runs.append(lo)
                 hi_runs.append(hi)
                 ratio = SCALE_HI / SCALE_LO
@@ -1105,6 +1238,9 @@ def main() -> None:
                         hi["turns_per_sec"] / (ratio * lo["turns_per_sec"]), 3),
                     "query_eff": round(hi["qps"] / (ratio * lo["qps"]), 3),
                 })
+            if not lo_runs or not hi_runs:
+                result["scaling"] = scaling  # pair_errors only
+                return
             for tag, runs in (("lo", lo_runs), ("hi", hi_runs)):
                 best = max(runs, key=lambda r: r["turns_per_sec"])
                 best = dict(best)
@@ -1130,7 +1266,7 @@ def main() -> None:
                     / (ratio * max(r["dp_qps"] for r in lo_runs)), 3)
             result["scaling"] = scaling
 
-        section("scaling", 500, _core_scaling)
+        section("scaling", 700, _core_scaling)
 
     # 6) everything else shares one fresh 32-core JVM, cheapest-first so a
     # tight budget still lands the widely-cited numbers
