@@ -54,10 +54,19 @@ def get_spark(
     # executor JVM. Without it a "2-core" local session free-rides on
     # machine-wide JIT/GC threads, which both distorts scaling measurements
     # and storms co-located sessions.
+    # -Xms = -Xmx: a growable heap makes ParallelGC commit/uncommit memory
+    # on every resize, and under this sandbox's virtualized kernel that
+    # mmap/fault churn is the dominant cost of co-located JVMs (measured:
+    # 4 concurrent 1-core shard builds spent 650 s of *system* time in
+    # 113 s of wall — 5× their user time — which a fixed pre-sized heap
+    # cut to 137 s; see docs/SCALE.md). A fixed heap only reserves
+    # address space up front; physical pages still fault in lazily.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     java_opts = os.environ.get(
         "SPARK_GRAFT_JAVA_OPTS",
         f"-XX:ActiveProcessorCount={n_apc} "
-        f"-XX:+UseParallelGC -XX:ParallelGCThreads={n_gc}",
+        f"-XX:+UseParallelGC -XX:ParallelGCThreads={n_gc} "
+        f"-Xms{mem}",
     )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
