@@ -47,7 +47,7 @@ from ..operators.doc_ids import assign_dense_ids
 from ..operators.text_stats import dictionary as build_dictionary
 from ..operators.text_stats import doc_stats, term_freq
 from .codec import varint_encode
-from .storage import FORMAT_VERSION, read_table, table_path, write_table
+from .storage import FORMAT_VERSION, read_table, shuffle_n, table_path, write_table
 
 POSTINGS_SCHEMA = (
     "term_id long, salt int, block_id int, n int, base long, max_doc_id long, "
@@ -381,7 +381,7 @@ def build_index(
         # lineage metrics observed during the write itself (no re-read pass)
         obs = Observation(f"part_{p}_metrics")
         blocks = (
-            part.repartition("term_id", "salt")
+            part.repartition(shuffle_n(part), "term_id", "salt")
             .mapInPandas(_encode_map_fn(block_size), schema=POSTINGS_SCHEMA)
             .observe(
                 obs,
@@ -616,7 +616,7 @@ def _build_index_single_shot(
     )
     obs = Observation("build_metrics")
     blocks = (
-        enriched.repartition("part_id", "term_id", "salt")
+        enriched.repartition(shuffle_n(enriched), "part_id", "term_id", "salt")
         .mapInPandas(
             _encode_occ_map_fn(block_size),
             schema="part_id int, " + POSTINGS_SCHEMA,

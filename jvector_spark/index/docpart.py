@@ -47,6 +47,7 @@ from .query import SPARSE_EXACT_LIMIT, wand_topk_arrays
 from .storage import (
     FORMAT_VERSION,
     read_table,
+    shuffle_n,
     table_path,
     tombstone_ids,
     write_table,
@@ -121,7 +122,7 @@ def build_doc_partitioned(
     )
     obs = Observation("dp_build_metrics")
     blocks = (
-        enriched.repartition("part_id")
+        enriched.repartition(shuffle_n(enriched), "part_id")
         .mapInPandas(
             _encode_occ_map_fn(block_size),
             schema="part_id int, " + POSTINGS_SCHEMA,

@@ -39,7 +39,7 @@ from ..operators.doc_ids import assign_dense_ids
 from ..operators.text_stats import dictionary as build_dictionary
 from ..operators.text_stats import doc_stats, term_freq
 from .build import POSTINGS_SCHEMA, _encode_map_fn
-from .storage import read_segments, read_table, table_path, update_segments
+from .storage import read_segments, read_table, shuffle_n, table_path, update_segments
 
 
 def extend_index(
@@ -140,7 +140,7 @@ def extend_index(
     )
     obs = Observation("extend_metrics")
     blocks = (
-        enriched.repartition("part_id", "term_id", "salt")
+        enriched.repartition(shuffle_n(enriched), "part_id", "term_id", "salt")
         .mapInPandas(_encode_map_fn(block_size, carry_part_id=True), schema="part_id int, " + POSTINGS_SCHEMA)
         .observe(
             obs,

@@ -34,6 +34,7 @@ from .query import decode_postings
 from .storage import (
     read_segments,
     read_table,
+    shuffle_n,
     table_path,
     tombstone_ids,
     update_segments,
@@ -90,7 +91,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     ).select("part_id", "term_id", "salt", "doc_id", "tf", "dl")
     obs = Observation("compact_metrics")
     blocks = (
-        enriched.repartition("part_id", "term_id", "salt")
+        enriched.repartition(shuffle_n(enriched), "part_id", "term_id", "salt")
         .mapInPandas(
             _encode_map_fn(block_size, carry_part_id=True),
             schema="part_id int, " + POSTINGS_SCHEMA,

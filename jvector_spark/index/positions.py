@@ -40,7 +40,7 @@ from .. import BLOCK_SIZE
 from ..operators.phrase import token_positions
 from .build import _varint_encode_with_lengths
 from .codec import varint_decode
-from .storage import read_segments, read_table, table_path
+from .storage import read_segments, read_table, shuffle_n, table_path
 
 POSITIONS_SCHEMA = (
     "term_id long, salt int, block_id int, n int, base long, max_doc_id long, "
@@ -194,7 +194,7 @@ def add_positions(
         )
         .select("part_id", "term_id", "salt", "doc_id", "pos")
     )
-    blocks = enriched.repartition("part_id", "term_id", "salt").mapInPandas(
+    blocks = enriched.repartition(shuffle_n(enriched), "part_id", "term_id", "salt").mapInPandas(
         lambda it: _carry_part(it, block_size), schema="part_id int, " + POSITIONS_SCHEMA
     )
     blocks.write.mode("overwrite").partitionBy("part_id").parquet(
@@ -416,6 +416,6 @@ def phrase_count_indexed(
         docs, counts = np.unique(cur >> POS_BITS, return_counts=True)
         yield pd.DataFrame({"doc_id": docs, "n_phrase": counts.astype(np.int64)})
 
-    return occ.repartition("doc_id").mapInPandas(
+    return occ.repartition(shuffle_n(occ), "doc_id").mapInPandas(
         match_fn, schema="doc_id long, n_phrase long"
     )

@@ -55,6 +55,23 @@ def table_path(index_dir: str, name: str) -> str:
     return os.path.join(index_dir, name)
 
 
+def shuffle_n(df: DataFrame) -> int:
+    """The session's configured shuffle-partition count, for EXPLICIT
+    ``repartition(n, cols...)`` on the CPU-heavy Arrow-encode exchanges.
+
+    Why explicit: AQE's ``coalescePartitions`` targets shuffle-BYTE balance
+    (advisory 64 MB) and is blind to downstream cost per byte. The encode
+    stages pipe each partition through a Python/Arrow worker whose varint
+    packing costs ~10-100x more CPU per byte than a JVM scan, so letting
+    AQE coalesce them serializes the build's dominant CPU work (measured:
+    the sf0.1 encode stage coalesced 32 -> 10 tasks and became 75 % of
+    build wall; at 1000 executors the same coalesce would idle most of the
+    cluster). ``spark.sql.shuffle.partitions`` is already sized to the
+    data / cluster (docs/SCALE.md), so pinning the exchange to it keeps
+    the configured parallelism without disabling AQE elsewhere."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
 def write_table(df: DataFrame, index_dir: str, name: str, mode: str = "overwrite",
                 partition_by: list[str] | None = None) -> None:
     w = df.write.mode(mode)
