@@ -79,7 +79,13 @@ N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "5000"))
 # (ThroughputBenchmark.java:56-61) — steal-gating just makes the
 # "discard contended runs" rule objective instead of eyeballed.
 SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
-SCALE_CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_CLEAN_PAIRS", "3"))
+# 2 clean pairs, not 3: the full-default round-4 run measured ~630 s per
+# pair (1.44M-turn lo leg ≈ 330 s at 1 quota'd core) and 3 clean pairs ate
+# 1878 s of a 2700 s budget, starving throughput/streaming/grid out of the
+# artifact entirely. _median_low over 2 pairs takes the LOWER one — the
+# conservative read — and that run's pairs (1.072 / 1.061 / 0.876) clear
+# the ≥0.8 criterion from any 2-pair subset.
+SCALE_CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_CLEAN_PAIRS", "2"))
 SCALE_STEAL_CLEAN = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_CLEAN", "1.0"))
 
 HEADLINE = [
@@ -1286,7 +1292,14 @@ def main() -> None:
     # is skipped when the remaining budget can't cover its estimated cost;
     # the running result is flushed to BENCH_DETAIL.json after EVERY
     # section so even a kill preserves everything completed so far.
-    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "2700"))
+    # 3300, raised from 2700 after the full-default round-4 rehearsal: the
+    # budget's only job is triage ORDER under a kill — the SIGTERM net
+    # prints the compact line with everything completed so far, so a budget
+    # larger than the driver's timeout costs nothing, while a SMALLER one
+    # voluntarily skips tail sections the driver would have had time for
+    # (that rehearsal finished scaling at +2171 s and then skipped
+    # throughput/streaming/grid to honor 2700 with the box still free).
+    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "3300"))
     t_start = time.monotonic()
 
     def remaining() -> float:
