@@ -329,21 +329,20 @@ def _parts_for(spark: SparkSession, salts: dict[int, int], n_parts: int) -> list
     ]
 
 
-def phrase_count_indexed(
-    spark: SparkSession, index_dir: str, *terms: str
-) -> DataFrame:
-    """(doc_id, n_phrase) — docs containing the exact phrase ``terms``
-    (adjacent, in order), answered from the positional feature. Must equal
-    the brute-force ``operators.phrase.phrase_count`` exactly."""
-    if len(terms) < 2:
-        raise ValueError("phrase needs >= 2 terms")
+def _occurrences_for_terms(
+    spark: SparkSession, index_dir: str, terms: tuple[str, ...]
+) -> tuple[DataFrame | None, dict[str, int]]:
+    """Decode the positional occurrences of ``terms``: (occ, term→term_id).
+
+    ``occ`` is a (term_id, doc_id, pos) DataFrame over ONLY the queried
+    terms' blocks (directory-pruned to their part_ids — one driver job
+    resolves term_ids AND the pruned part set: the salt explode + xxhash64
+    ride the same tiny collect). ``occ`` is None when any term is OOV —
+    no positional query over all of ``terms`` can match."""
     if not has_positions(index_dir):
         raise ValueError(f"index at {index_dir} has no positions feature")
     seg = read_segments(spark, index_dir)
     dct = read_table(spark, index_dir, "dictionary")
-    # ONE driver job resolves term_ids AND the pruned part set (the salt
-    # explode + xxhash64 ride the same tiny collect — at small corpora the
-    # indexed path's cost is driver job latency, so jobs are budgeted)
     tid_rows = (
         dct.filter(F.col("term").isin(list(set(terms))))
         .select(
@@ -360,7 +359,7 @@ def phrase_count_indexed(
     )
     tids = {r.term: r.term_id for r in tid_rows}
     if len(tids) < len(set(terms)):
-        return spark.createDataFrame([], "doc_id long, n_phrase long")
+        return None, tids
     parts = sorted({int(r.part_id) for r in tid_rows})
     pos = read_table(spark, index_dir, "positions").filter(
         F.col("part_id").isin(parts)
@@ -369,6 +368,20 @@ def phrase_count_indexed(
     occ = pos.mapInPandas(
         _decode_positions_map_fn(), schema="term_id long, doc_id long, pos long"
     )
+    return occ, tids
+
+
+def phrase_count_indexed(
+    spark: SparkSession, index_dir: str, *terms: str
+) -> DataFrame:
+    """(doc_id, n_phrase) — docs containing the exact phrase ``terms``
+    (adjacent, in order), answered from the positional feature. Must equal
+    the brute-force ``operators.phrase.phrase_count`` exactly."""
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    occ, tids = _occurrences_for_terms(spark, index_dir, terms)
+    if occ is None:
+        return spark.createDataFrame([], "doc_id long, n_phrase long")
 
     # decode ONCE, co-locate by doc (one narrow shuffle of the queried
     # terms' occurrences), then intersect ALL docs' positional sets in one
@@ -418,4 +431,75 @@ def phrase_count_indexed(
 
     return occ.repartition(shuffle_n(occ), "doc_id").mapInPandas(
         match_fn, schema="doc_id long, n_phrase long"
+    )
+
+
+def proximity_count_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    t1: str,
+    t2: str,
+    *,
+    slop: int = 3,
+    ordered: bool = False,
+) -> DataFrame:
+    """(doc_id, n_prox) — proximity ("NEAR") matching from the positional
+    feature: pairs of occurrences of ``t1``/``t2`` within ``slop`` positions
+    (``ordered=True`` requires t2 to follow t1). Must equal the brute-force
+    ``operators.phrase.proximity_count`` exactly.
+
+    Kernel shape (same family as the phrase kernel above): decode the two
+    terms' occurrences once, co-locate by doc, pack (doc_id << POS_BITS |
+    shifted pos) keys, then count each t1 occurrence's in-window t2
+    neighbors with two vectorized ``searchsorted`` probes over t2's sorted
+    keys — window arithmetic cannot cross a doc boundary because shifted
+    positions are strictly positive and the pack-width guard bounds
+    ``pos + slop`` below 2^POS_BITS."""
+    if t1 == t2:
+        raise ValueError("proximity terms must differ (a position holds one term)")
+    if slop < 1:
+        raise ValueError(f"slop must be >= 1, got {slop}")
+    occ, tids = _occurrences_for_terms(spark, index_dir, (t1, t2))
+    if occ is None:
+        return spark.createDataFrame([], "doc_id long, n_prox long")
+
+    POS_BITS = 21
+    tid1, tid2 = int(tids[t1]), int(tids[t2])
+    off = slop + 1  # shifted positions stay > slop, so key-slop stays in-doc
+
+    def match_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = [p for p in it]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        t = pdf["term_id"].to_numpy(np.int64)
+        d = pdf["doc_id"].to_numpy(np.int64)
+        p = pdf["pos"].to_numpy(np.int64)
+        if len(p) and int(p.max()) + off + slop >= (1 << POS_BITS):
+            raise ValueError(
+                f"proximity kernel overflow: max position {int(p.max())} + "
+                f"slop {slop} >= 2^{POS_BITS}; use the brute-force path"
+            )
+        if len(d) and int(d.max()) >= (1 << (63 - POS_BITS)):
+            raise ValueError(
+                f"proximity kernel overflow: doc_id {int(d.max())} >= "
+                f"2^{63 - POS_BITS}"
+            )
+        keys = (d << POS_BITS) | (p + off)
+        k1 = keys[t == tid1]
+        k2 = np.sort(keys[t == tid2])
+        if not len(k1) or not len(k2):
+            return
+        lo = np.searchsorted(k2, k1 + 1 if ordered else k1 - slop, side="left")
+        hi = np.searchsorted(k2, k1 + slop, side="right")
+        cnt = hi - lo
+        keep = cnt > 0
+        if not keep.any():
+            return
+        docs, inv = np.unique(k1[keep] >> POS_BITS, return_inverse=True)
+        n = np.bincount(inv, weights=cnt[keep].astype(np.float64))
+        yield pd.DataFrame({"doc_id": docs, "n_prox": n.astype(np.int64)})
+
+    return occ.repartition(shuffle_n(occ), "doc_id").mapInPandas(
+        match_fn, schema="doc_id long, n_prox long"
     )

@@ -723,6 +723,37 @@ def bm25_topk_indexed(
     )
 
 
+def bm25_topk_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 10,
+    query_id: int = 0,
+    prune: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """(rank, doc_id, score) — wildcard/prefix query ``prefix*``: expand
+    against the ``dictionary`` table (a metadata-sized range scan — the
+    hierarchy-descent idiom of Q3: narrow through the small relation before
+    touching postings), then answer ONE multi-term batch over the expanded
+    term set, weight 1 per matched term (Lucene's MultiTermQuery BM25-sum
+    rewrite). The expanded terms ride the normal directory-pruned WAND
+    path, so only their posting blocks are read. Must match the brute
+    ``operators.topk.prefix_topk_bruteforce`` rank-identically; a prefix
+    matching no dictionary term returns no rows."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    dct = read_table(spark, index_dir, "dictionary")
+    qterms = dct.filter(F.col("term").startswith(prefix)).select(
+        F.lit(int(query_id)).alias("query_id"),
+        "term",
+        F.lit(1.0).alias("weight"),
+    )
+    return bm25_topk_indexed(
+        spark, index_dir, qterms, k=k, prune=prune, **kwargs
+    ).select("rank", "doc_id", "score")
+
+
 def tfidf_topk_indexed(
     spark: SparkSession, index_dir: str, qterms: DataFrame, k: int = 10
 ) -> DataFrame:

@@ -57,3 +57,45 @@ def phrase_count(
             .select(id_col, "p")
         )
     return acc.groupBy(id_col).agg(F.count("*").cast("long").alias("n_phrase"))
+
+
+def proximity_count(
+    corpus: DataFrame,
+    t1: str,
+    t2: str,
+    *,
+    slop: int = 3,
+    ordered: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_prox) — docs where ``t1`` and ``t2`` co-occur within
+    ``slop`` token positions, with the number of qualifying position pairs.
+
+    ``ordered=False`` (the default) counts pairs with ``|pos2 - pos1| <=
+    slop`` (the classic unordered proximity / "NEAR" query); ``ordered=True``
+    requires ``t2`` to FOLLOW ``t1`` within the window (``0 < pos2 - pos1 <=
+    slop`` — phrase-with-slop). ``slop=1, ordered=True`` degenerates to the
+    2-term exact phrase.
+
+    Plan shape: same as :func:`phrase_count` — the positional relation is
+    filtered to the two terms (pushed to the scan) and equi-joined on
+    doc_id, so join inputs are the matching terms' occurrences only, never
+    the corpus. The index-backed twin is
+    ``index.positions.proximity_count_indexed``.
+    """
+    if t1 == t2:
+        raise ValueError("proximity terms must differ (a position holds one term)")
+    if slop < 1:
+        raise ValueError(f"slop must be >= 1, got {slop}")
+    pos = token_positions(corpus, text_col, id_col)
+    a = pos.filter(F.col("term") == t1).select(F.col(id_col), F.col("pos").alias("p1"))
+    b = pos.filter(F.col("term") == t2).select(F.col(id_col), F.col("pos").alias("p2"))
+    d = F.col("p2") - F.col("p1")
+    cond = (d >= 1) & (d <= slop) if ordered else (F.abs(d) <= slop)
+    return (
+        a.join(b, [id_col])
+        .filter(cond)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_prox"))
+    )

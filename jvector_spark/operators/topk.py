@@ -155,3 +155,36 @@ def tfidf_topk_bruteforce(
         .agg(F.sum("contrib").cast("double").alias("score"))
     )
     return topk(scored, k=k, id_col=id_col)
+
+
+def prefix_topk_bruteforce(
+    corpus: DataFrame,
+    prefix: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(rank, doc_id, score) — BM25 top-k for the wildcard query
+    ``prefix*``: every corpus term starting with ``prefix`` joins the query
+    with weight 1 and a doc scores the SUM of its matched expansions'
+    BM25 contributions (Lucene's MultiTermQuery BM25-sum rewrite). Brute
+    twin of ``index.query.bm25_topk_prefix``; empty expansion → no rows.
+
+    The expansion is vocabulary-bounded (distinct matching terms), so the
+    broadcast query join of the core pipeline still applies at scale."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    qterms = (
+        term_freq(corpus, text_col, id_col)
+        .select("term")
+        .distinct()
+        .filter(F.col("term").startswith(prefix))
+        .select(
+            F.lit(0).alias("query_id"), "term", F.lit(1.0).alias("weight")
+        )
+    )
+    return bm25_topk_bruteforce(
+        corpus, qterms, k=k, text_col=text_col, id_col=id_col, k1=k1, b=b
+    ).select("rank", id_col, "score")

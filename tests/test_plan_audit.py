@@ -40,6 +40,7 @@ INDEXED_KEYS = [
     "bm25_topk", "bm25_topk_docpart", "postings_decode", "threshold_search",
     "postings_build", "filter_topk_indexed", "phrase_count_indexed",
     "phrase_count3", "phrase_count3_indexed", "tfidf_topk_indexed",
+    "proximity_count", "prefix_topk", "conv_topk",
 ]
 
 
@@ -63,7 +64,7 @@ def test_no_row_python_in_contract_plans(spark, entry_mod, key):
 
 
 def test_scan_filter_pushdown_and_pruning(spark, entry_mod):
-    df = entry_mod.queries()["scan_filter"](spark, SF_DIR)
+    df = entry_mod.audit_queries()["scan_filter"](spark, SF_DIR)
     audit = plan_audit(df)
     pushed = " ".join(audit["pushed_filters"])
     assert "l_shipdate" in pushed and "l_discount" in pushed
@@ -74,7 +75,7 @@ def test_scan_filter_pushdown_and_pruning(spark, entry_mod):
 
 
 def test_hash_join_broadcasts_small_side(spark, entry_mod):
-    df = entry_mod.queries()["hash_join"](spark, SF_DIR)
+    df = entry_mod.audit_queries()["hash_join"](spark, SF_DIR)
     assert plan_audit(df)["has_broadcast"], "customer side should broadcast"
 
 
