@@ -102,6 +102,9 @@ HEADLINE = [
     "phrase_count_indexed",
     "phrase_count3",
     "phrase_count3_indexed",
+    "proximity_count",
+    "prefix_topk",
+    "conv_topk",
     "exact_dedup",
     "minhash_near_dups",
     "simhash",
