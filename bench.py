@@ -72,13 +72,18 @@ N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "5000"))
 # spiking from ~0 to 100-200 core-s per window). A single sample can be
 # off 3×, so every leg now RECORDS its own /proc/stat delta (user/sys/
 # steal) and a pair is "clean" only when both legs ran with average steal
-# below SCALE_STEAL_CLEAN cores. The headline efficiency is the median
+# below SCALE_STEAL_CLEAN as a FRACTION of the leg's quota cores —
+# measured on the leg's PINNED cpus only (_cpu_sample sums the per-cpu
+# /proc/stat rows of the affinity set), because box-wide steal cannot say
+# whether the storm hit the leg: the round-4 dress rehearsal archived a
+# 0.652 pair whose hi leg saw 0.73 box-wide steal cores and still passed
+# the old absolute ≤1.0 gate. The headline efficiency is the median
 # over clean pairs (all pairs are reported); sampling stops at
 # SCALE_CLEAN_PAIRS clean pairs or SCALE_REPEATS total. The reference
 # bakes in the same repeated-timed-runs defense
 # (ThroughputBenchmark.java:56-61) — steal-gating just makes the
 # "discard contended runs" rule objective instead of eyeballed.
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "6"))
 # 2 clean pairs, not 3: the full-default round-4 run measured ~630 s per
 # pair (1.44M-turn lo leg ≈ 330 s at 1 quota'd core) and 3 clean pairs ate
 # 1878 s of a 2700 s budget, starving throughput/streaming/grid out of the
@@ -86,7 +91,11 @@ SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
 # conservative read — and that run's pairs (1.072 / 1.061 / 0.876) clear
 # the ≥0.8 criterion from any 2-pair subset.
 SCALE_CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_CLEAN_PAIRS", "2"))
-SCALE_STEAL_CLEAN = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_CLEAN", "1.0"))
+# max average steal on the leg's pinned cpus, as a fraction of the leg's
+# quota cores (0.03 → a 4-core leg tolerates 0.12 avg steal cores). On an
+# idle window the pinned-cpu steal is ~0.00-0.01; storm windows measure
+# 0.3-3+ per core — the two populations are well separated.
+SCALE_STEAL_CLEAN = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_CLEAN", "0.03"))
 
 HEADLINE = [
     "bm25_topk",
@@ -203,8 +212,32 @@ def _median_low(sorted_vals: list[float]) -> float:
 
 
 def _cpu_sample() -> list[int]:
-    """Box-wide cumulative jiffies from the /proc/stat summary line."""
-    return [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    """Cumulative jiffies from /proc/stat. When the calling process is
+    pinned to a strict subset of the box (a CPU-quota'd scaling leg), sum
+    the per-cpu rows of THAT cpuset only — steal measured box-wide cannot
+    tell whether a contention window actually hit the leg's cores (the
+    round-4 dress rehearsal archived a 0.652 pair whose hi leg showed 0.73
+    box-wide steal cores yet passed the old box-wide gate). Per-pinned-cpu
+    steal is the direct poisoned-or-not signal for the leg."""
+    with open("/proc/stat") as f:
+        lines = f.readlines()
+    try:
+        aff = os.sched_getaffinity(0)
+    except AttributeError:  # non-Linux fallback
+        aff = set(range(os.cpu_count() or 1))
+    if len(aff) >= (os.cpu_count() or 1):
+        return [int(x) for x in lines[0].split()[1:]]
+    want = {f"cpu{c}" for c in aff}
+    acc: list[int] = []
+    for ln in lines[1:]:
+        parts = ln.split()
+        if parts and parts[0] in want:
+            vals = [int(x) for x in parts[1:]]
+            if not acc:
+                acc = vals
+            else:
+                acc = [a + b for a, b in zip(acc, vals)]
+    return acc or [int(x) for x in lines[0].split()[1:]]
 
 
 def _cpu_delta(before: list[int], after: list[int], wall: float) -> dict:
@@ -1530,12 +1563,15 @@ def main() -> None:
                 hi_runs.append(hi)
                 ratio = SCALE_HI / SCALE_LO
                 # a pair is CLEAN when neither leg's build window saw
-                # hypervisor steal above the threshold — the objective
-                # "this sample was not taken during a host-contention
-                # window" rule (all pairs are reported either way)
+                # hypervisor steal ON ITS PINNED CPUS above the fractional
+                # threshold — the objective "this sample was not taken
+                # during a host-contention window" rule (all pairs are
+                # reported either way). Fractional because a 4-core leg
+                # has 4× the steal exposure of a 1-core leg.
                 clean = all(
-                    r["cpu_build"]["avg_steal_cores"] <= SCALE_STEAL_CLEAN
-                    for r in (lo, hi)
+                    r["cpu_build"]["avg_steal_cores"]
+                    <= SCALE_STEAL_CLEAN * legc
+                    for r, legc in ((lo, SCALE_LO), (hi, SCALE_HI))
                 )
                 n_clean += int(clean)
                 pair_rows.append({
@@ -1572,8 +1608,8 @@ def main() -> None:
                 ]
                 scaling[tag] = best
             used = [p for p in pair_rows if p["clean"]]
-            if len(used) < 2:
-                used = pair_rows  # too contended to gate; report all
+            if not used:
+                used = pair_rows  # every pair contended; report all
             scaling["pair_runs"] = pair_rows
             scaling["clean_pairs_used"] = len(used)
             scaling["build_efficiency"] = _median_low(
