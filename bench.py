@@ -752,7 +752,7 @@ def transcripts_job(
     # cache traffic capped 2→8-core scaling at 0.40); the checkpointed/
     # resumable path is covered by its own tests and differs only by one
     # staging write+read and per-part jobs
-    build_index_transcripts(
+    build_meta = build_index_transcripts(
         src, idx_dir, ["conv_id", "turn_idx"],
         doc_map_cols=["conv_id", "turn_idx"],
         n_parts=2, salt_threshold=4096, target_salt_postings=4096,
@@ -838,6 +838,7 @@ def transcripts_job(
         "query_kernel_latency": lat,
         **out_dp,
         "turns": int(n_turns),
+        "build_phase_secs": build_meta.get("phase_secs", {}),
         "cpu_build": cpu_build,
         "cpu_query": cpu_query,
         "build_sec": round(t_build, 3),
@@ -1345,7 +1346,13 @@ def main() -> None:
         print(f"[bench +{time.monotonic() - t_start:.0f}s] {msg}",
               file=sys.stderr, flush=True)
 
-    workdir = tempfile.mkdtemp(prefix="jv_bench_")
+    # scratch on tmpfs when present: the synthesized corpus, index output
+    # and shuffle files model an executor's NVMe scratch, not the sandbox's
+    # kernel-heavy virtual disk (see session.get_spark local_dir note)
+    workdir = tempfile.mkdtemp(
+        prefix="jv_bench_",
+        dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None,
+    )
     result: dict = {
         "metric": "transcripts index build + BM25 WAND query suite",
         "unit": "sec",

@@ -34,6 +34,7 @@ repartition-by-(term_id, salt).
 from __future__ import annotations
 
 import os
+import time
 from typing import Iterator
 
 import numpy as np
@@ -465,6 +466,8 @@ def build_index_transcripts(
 
     pins: list = []
     keep = [c for c in (doc_map_cols or []) if c not in order_cols]
+    phases: list = []
+    t0 = time.perf_counter()
     pre = assign_dense_ids(
         src,
         order_cols,
@@ -474,13 +477,17 @@ def build_index_transcripts(
             "_pid", *order_cols, *keep, tokens_col(text_col).alias("_toks")
         ),
     )
+    # assign_dense_ids materializes eagerly (range-sampling job + tokenize
+    # + cache populate + per-partition count collect), so this bracket is
+    # a real phase boundary, not lazy-plan time
+    phases.append(("ids_tokenize_cache", time.perf_counter() - t0))
     if id_offset:
         pre = pre.withColumn("doc_id", F.col("doc_id") + F.lit(int(id_offset)))
     try:
         return _build_index_single_shot(
             pre, index_dir, text_col, "doc_id", doc_map_cols, k1, b,
             block_size, salt_threshold, target_salt_postings, n_parts,
-            toks_col="_toks", id_offset=id_offset,
+            toks_col="_toks", id_offset=id_offset, phases=phases,
         )
     finally:
         for p in pins:
@@ -501,6 +508,7 @@ def _build_index_single_shot(
     n_parts: int,
     toks_col: str | None = None,
     id_offset: int = 0,
+    phases: list | None = None,
 ) -> dict:
     """Fast path: 3-4 Spark jobs total, no staging round-trip.
 
@@ -569,11 +577,19 @@ def _build_index_single_shot(
         dstats = corpus.select(
             F.col(id_col).alias("doc_id"), F.size(toks_col).cast("long").alias("dl")
         )
+    if phases is None:
+        phases = []
+
+    def _tick(name: str, t0: float) -> None:
+        phases.append((name, time.perf_counter() - t0))
+
     obs_stats = Observation("corpus_stats")
     dstats = dstats.observe(
         obs_stats, F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     )
+    t = time.perf_counter()
     write_table(dstats, index_dir, "doc_stats")
+    _tick("doc_stats_write", t)
     st = obs_stats.get
     n_docs, avgdl = int(st["n"]), float(st["avgdl"])
 
@@ -591,9 +607,13 @@ def _build_index_single_shot(
         )
     )
     pins: list = []
+    t = time.perf_counter()
     dct_pre = assign_dense_ids(dct_pre, ["term"], id_col="term_id", pins=pins).persist()
+    _tick("term_ids", t)
     if doc_map_cols:
+        t = time.perf_counter()
         write_table(corpus.select(id_col, *doc_map_cols), index_dir, "doc_map")
+        _tick("doc_map_write", t)
 
     enriched = (
         occ.join(F.broadcast(dct_pre.select("term", "term_id", "n_salts")), "term")
@@ -631,9 +651,11 @@ def _build_index_single_shot(
             ).alias("bytes"),
         )
     )
+    t = time.perf_counter()
     blocks.write.mode("overwrite").partitionBy("part_id").parquet(
         table_path(index_dir, "postings")
     )
+    _tick("encode_shuffle_write", t)
     m = obs.get
 
     # finalize dictionary: exact df from block meta (column-pruned scan)
@@ -645,12 +667,15 @@ def _build_index_single_shot(
     dct_final = dct_pre.join(dfreq, "term_id").select(
         "term", "term_id", "df", "cf", "n_salts"
     )
+    t = time.perf_counter()
     write_table(dct_final, index_dir, "dictionary")
+    _tick("dictionary_write", t)
     dct_pre.unpersist()
     for p in pins:
         p.unpersist()
 
     # lineage: one job-level row (part_id = -1 marks "all parts, one commit")
+    t = time.perf_counter()
     spark.createDataFrame(
         [(-1, n_docs, int(m["postings"]), int(m["bytes"]), "complete")],
         "part_id int, docs_indexed long, postings_emitted long, "
@@ -668,6 +693,7 @@ def _build_index_single_shot(
         "block_size int, token_pattern string, n_parts int",
     )
     write_table(seg, index_dir, "segments")
+    _tick("meta_writes", t)
     for p in own_persists:
         p.unpersist()
     return {
@@ -675,4 +701,5 @@ def _build_index_single_shot(
         "parts_built": n_parts,
         "postings_emitted": int(m["postings"]),
         "bytes_compressed": int(m["bytes"]),
+        "phase_secs": {k: round(v, 3) for k, v in phases},
     }

@@ -68,6 +68,16 @@ def get_spark(
         f"-XX:+UseParallelGC -XX:ParallelGCThreads={n_gc} "
         f"-Xms{mem}",
     )
+    # shuffle/spill scratch on tmpfs when available: this sandbox's /tmp is
+    # a virtualized disk whose write path is kernel-time-heavy (the 1-core
+    # scaling leg measured MORE system than user CPU; docs/SCALE.md), while
+    # /dev/shm is a 126 GB tmpfs. On a real cluster this is the NVMe
+    # scratch every executor gets via spark.local.dir / YARN local-dirs —
+    # pointing local mode at tmpfs models that, it doesn't cheat the
+    # engine's own work. Env-overridable; falls back to the default /tmp.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/jv_spark_local"
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -81,6 +91,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
