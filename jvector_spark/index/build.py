@@ -57,21 +57,52 @@ POSTINGS_SCHEMA = (
 )
 
 
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte length, bounded by the array max: one compare
+    pass per byte tier actually present (1-2 for tf/dl/gap data) instead of
+    the 10-round masked shift loop — the encoder is memory-bandwidth-bound
+    and every full-array pass shows up in multi-worker scaling."""
+    nb = np.ones(v.shape, dtype=np.int64)
+    vmax = int(v.max()) if v.size else 0
+    k = 1
+    while k < 10 and vmax >= (1 << (7 * k)):
+        nb += v >= np.uint64(1 << (7 * k))
+        k += 1
+    return nb
+
+
 def _varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode the whole array once; also return per-value byte
-    lengths so callers can slice out sub-ranges without re-encoding."""
+    lengths so callers can slice out sub-ranges without re-encoding.
+
+    Byte planes are written per tier over the COMPRESSED subset that still
+    has bytes left (values needing >j bytes), so single-byte-dominated
+    data (tfs, dls, small gaps) costs ~2 passes, not 10 masked rounds."""
     v = np.asarray(values, dtype=np.uint64)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    vv = v.copy()
-    while np.any(vv > 0):
-        nbits[vv > 0] += 1
-        vv >>= np.uint64(7)
-    nbits[v == 0] = 1
-    return varint_encode(v), nbits
+    nb = _varint_nbytes(v)
+    if v.size == 0:
+        return b"", nb
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nb.max())
+    for j in range(max_nb):
+        if j == 0:
+            idx, vj, nbj = starts, v, nb
+        else:
+            sel = nb > j
+            idx = starts[sel] + j
+            vj = v[sel]
+            nbj = nb[sel]
+        byte = ((vj >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        byte[nbj > j + 1] |= 0x80
+        out[idx] = byte
+    return out.tobytes(), nb
 
 
 def encode_partition_pdf(
-    pdf: pd.DataFrame, block_size: int = BLOCK_SIZE, carry_part_id: bool = False
+    pdf: pd.DataFrame, block_size: int = BLOCK_SIZE, carry_part_id: bool = False,
+    presorted: bool = False,
 ) -> pd.DataFrame:
     """Vectorized block encoder for one (already filtered) partition of the
     enriched tf relation. Expects columns term_id, salt, doc_id, tf, dl
@@ -87,12 +118,34 @@ def encode_partition_pdf(
     """
     if len(pdf) == 0:
         return _empty_postings_pdf(carry_part_id)
-    pdf = pdf.sort_values(["term_id", "salt", "doc_id"], kind="mergesort")
+    if not presorted:
+        pdf = pdf.sort_values(["term_id", "salt", "doc_id"], kind="mergesort")
     term = pdf["term_id"].to_numpy(np.int64)
     salt = pdf["salt"].to_numpy(np.int32)
     d = pdf["doc_id"].to_numpy(np.int64)
     tf = pdf["tf"].to_numpy(np.int64)
     dl = pdf["dl"].to_numpy(np.int64)
+    part = pdf["part_id"].to_numpy(np.int32) if carry_part_id else None
+    out = _encode_sorted_arrays(term, salt, d, tf, dl, part, block_size)
+    res = pd.DataFrame(out)
+    res["salt"] = res["salt"].astype("int32")
+    if carry_part_id:
+        res["part_id"] = res["part_id"].astype("int32")
+    return res
+
+
+def _encode_sorted_arrays(
+    term: np.ndarray,
+    salt: np.ndarray,
+    d: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    part: np.ndarray | None,
+    block_size: int,
+) -> dict:
+    """Array core of :func:`encode_partition_pdf`: input pre-sorted by
+    (term, salt, doc); returns the posting-block columns as a plain dict
+    (``part_id`` first when ``part`` is given)."""
     n = len(d)
 
     group_start = np.ones(n, dtype=bool)
@@ -143,14 +196,9 @@ def encode_partition_pdf(
         "tfs_packed": [tf_buf[tf_off[s] : tf_off[e]] for s, e in zip(starts, ends)],
         "dls_packed": [dl_buf[dl_off[s] : dl_off[e]] for s, e in zip(starts, ends)],
     }
-    if carry_part_id:
-        part = pdf["part_id"].to_numpy(np.int32)
+    if part is not None:
         out = {"part_id": part[starts], **out}
-    res = pd.DataFrame(out)
-    res["salt"] = res["salt"].astype("int32")
-    if carry_part_id:
-        res["part_id"] = res["part_id"].astype("int32")
-    return res
+    return out
 
 
 def _empty_postings_pdf(carry_part_id: bool = False) -> pd.DataFrame:
@@ -172,43 +220,79 @@ def _empty_postings_pdf(carry_part_id: bool = False) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
-def aggregate_occurrences_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def aggregate_occurrences_pdf(
+    pdf: pd.DataFrame, presorted: bool = False
+) -> pd.DataFrame:
     """(part_id, term_id, salt, doc_id, dl) occurrence rows → tf rows, all
     numpy (lexsort + run-length reduce). Lets the build shuffle RAW
     occurrences once instead of paying a separate tf-groupBy exchange —
     the aggregation happens on the reduce side of the one shuffle, exactly
-    where the data already sits."""
+    where the data already sits.
+
+    ``presorted`` = rows already ordered by (term_id, salt, doc_id) — the
+    single-shot build sorts on the JVM side of the exchange (Tungsten
+    radix sort, off-heap and cache-efficient), so the worker skips the
+    lexsort: random-access-heavy python sorting was the build's main
+    memory-bandwidth hog and the first thing to stop scaling when
+    multiple workers share a socket."""
     term = pdf["term_id"].to_numpy(np.int64)
     salt = pdf["salt"].to_numpy(np.int32)
     doc = pdf["doc_id"].to_numpy(np.int64)
     dl = pdf["dl"].to_numpy(np.int64)
     part = pdf["part_id"].to_numpy(np.int32)
-    order = np.lexsort((doc, salt, term))
-    term, salt, doc, dl, part = (
-        term[order], salt[order], doc[order], dl[order], part[order]
+    if not presorted:
+        order = np.lexsort((doc, salt, term))
+        term, salt, doc, dl, part = (
+            term[order], salt[order], doc[order], dl[order], part[order]
+        )
+    tid, sid, did, tfo, dlo, pid = _aggregate_occ_arrays(
+        term, salt, doc, dl, part
     )
+    return pd.DataFrame(
+        {
+            "part_id": pid,
+            "term_id": tid,
+            "salt": sid,
+            "doc_id": did,
+            "tf": tfo,
+            "dl": dlo,
+        }
+    )
+
+
+def _aggregate_occ_arrays(
+    term: np.ndarray,
+    salt: np.ndarray,
+    doc: np.ndarray,
+    dl: np.ndarray,
+    part: np.ndarray,
+) -> tuple:
+    """Run-length tf aggregation over (term, salt, doc)-sorted arrays.
+    All-unique input (tf ≡ 1 — the dominant case for short turns) skips
+    the six full-size gathers entirely."""
     n = len(term)
     start = np.ones(n, dtype=bool)
     start[1:] = (
         (term[1:] != term[:-1]) | (salt[1:] != salt[:-1]) | (doc[1:] != doc[:-1])
     )
     starts = np.flatnonzero(start)
-    counts = np.diff(np.append(starts, n))
-    return pd.DataFrame(
-        {
-            "part_id": part[starts],
-            "term_id": term[starts],
-            "salt": salt[starts],
-            "doc_id": doc[starts],
-            "tf": counts.astype(np.int64),
-            "dl": dl[starts],
-        }
+    if starts.size == n:
+        return term, salt, doc, np.ones(n, dtype=np.int64), dl, part
+    counts = np.diff(np.append(starts, n)).astype(np.int64)
+    return (
+        term[starts], salt[starts], doc[starts], counts, dl[starts], part[starts]
     )
 
 
-def _encode_occ_map_fn(block_size: int):
+def _encode_occ_map_fn(block_size: int, presorted: bool = False):
     """mapInPandas fn: occurrence rows → in-worker tf aggregation → fused
-    posting blocks (single-shuffle build path)."""
+    posting blocks (single-shuffle build path). ``presorted`` — see
+    :func:`aggregate_occurrences_pdf`; Arrow batch boundaries never break
+    ordering because the whole partition is concatenated first.
+
+    The presorted path stays in numpy end-to-end (to_numpy views of the
+    Arrow columns → run-length → block encode → one output DataFrame) —
+    no intermediate pandas frame, no consolidation copies."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         batches = [p for p in it]
@@ -219,9 +303,26 @@ def _encode_occ_map_fn(block_size: int):
         if len(occ) == 0:
             yield _empty_postings_pdf(carry_part_id=True)
             return
-        yield encode_partition_pdf(
-            aggregate_occurrences_pdf(occ), block_size, carry_part_id=True
+        if not presorted:
+            # aggregate lexsorts and returns sorted output, so the encoder
+            # sort is skippable on this path too
+            yield encode_partition_pdf(
+                aggregate_occurrences_pdf(occ, presorted=False),
+                block_size, carry_part_id=True, presorted=True,
+            )
+            return
+        tid, sid, did, tfo, dlo, pid = _aggregate_occ_arrays(
+            occ["term_id"].to_numpy(np.int64),
+            occ["salt"].to_numpy(np.int32),
+            occ["doc_id"].to_numpy(np.int64),
+            occ["dl"].to_numpy(np.int64),
+            occ["part_id"].to_numpy(np.int32),
         )
+        out = _encode_sorted_arrays(tid, sid, did, tfo, dlo, pid, block_size)
+        res = pd.DataFrame(out)
+        res["salt"] = res["salt"].astype("int32")
+        res["part_id"] = res["part_id"].astype("int32")
+        yield res
 
     return fn
 
@@ -636,9 +737,15 @@ def _build_index_single_shot(
     )
     obs = Observation("build_metrics")
     blocks = (
+        # sort on the JVM side of the exchange: Tungsten's off-heap sort is
+        # cache-efficient and keeps scaling when several workers share a
+        # socket, so the Arrow worker gets run-length-reducible input and
+        # never sorts (presorted=True) — the python lexsort it replaces was
+        # the build's main memory-bandwidth hog
         enriched.repartition(shuffle_n(enriched), "part_id", "term_id", "salt")
+        .sortWithinPartitions("term_id", "salt", "doc_id")
         .mapInPandas(
-            _encode_occ_map_fn(block_size),
+            _encode_occ_map_fn(block_size, presorted=True),
             schema="part_id int, " + POSTINGS_SCHEMA,
         )
         .observe(
@@ -652,9 +759,25 @@ def _build_index_single_shot(
         )
     )
     t = time.perf_counter()
-    blocks.write.mode("overwrite").partitionBy("part_id").parquet(
-        table_path(index_dir, "postings")
-    )
+    # large Arrow batches for the encode exchange only: occurrence rows are
+    # ~40 B wide, so 128k-row batches are ~5 MB — far fewer IPC round-trips
+    # and allocator churn per partition. Scoped + restored so mapInPandas
+    # surfaces with wide rows (multimodal binary) keep the session default.
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    try:
+        arrow_prev = spark.conf.get(arrow_key)
+    except Exception:  # noqa: BLE001
+        arrow_prev = None
+    spark.conf.set(arrow_key, "131072")
+    try:
+        blocks.write.mode("overwrite").partitionBy("part_id").parquet(
+            table_path(index_dir, "postings")
+        )
+    finally:
+        if arrow_prev is None:
+            spark.conf.unset(arrow_key)
+        else:
+            spark.conf.set(arrow_key, arrow_prev)
     _tick("encode_shuffle_write", t)
     m = obs.get
 
