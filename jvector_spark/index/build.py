@@ -295,28 +295,35 @@ def _encode_occ_map_fn(block_size: int, presorted: bool = False):
     no intermediate pandas frame, no consolidation copies."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        batches = [p for p in it]
-        if not batches:
+        # per-column np.concatenate over the Arrow batches, NOT pd.concat:
+        # pandas consolidation would copy all 5 columns into one 2D block
+        # (strided writes — pure memory-bandwidth burn in every worker)
+        cols: dict[str, list[np.ndarray]] = {
+            "part_id": [], "term_id": [], "salt": [], "doc_id": [], "dl": []
+        }
+        dts = {
+            "part_id": np.int32, "term_id": np.int64, "salt": np.int32,
+            "doc_id": np.int64, "dl": np.int64,
+        }
+        n_rows = 0
+        for p in it:
+            if len(p) == 0:
+                continue
+            n_rows += len(p)
+            for c, acc in cols.items():
+                acc.append(p[c].to_numpy(dts[c]))
+        if n_rows == 0:
             yield _empty_postings_pdf(carry_part_id=True)
             return
-        occ = pd.concat(batches, ignore_index=True)
-        if len(occ) == 0:
-            yield _empty_postings_pdf(carry_part_id=True)
-            return
+        arr = {
+            c: (acc[0] if len(acc) == 1 else np.concatenate(acc))
+            for c, acc in cols.items()
+        }
         if not presorted:
-            # aggregate lexsorts and returns sorted output, so the encoder
-            # sort is skippable on this path too
-            yield encode_partition_pdf(
-                aggregate_occurrences_pdf(occ, presorted=False),
-                block_size, carry_part_id=True, presorted=True,
-            )
-            return
+            order = np.lexsort((arr["doc_id"], arr["salt"], arr["term_id"]))
+            arr = {c: a[order] for c, a in arr.items()}
         tid, sid, did, tfo, dlo, pid = _aggregate_occ_arrays(
-            occ["term_id"].to_numpy(np.int64),
-            occ["salt"].to_numpy(np.int32),
-            occ["doc_id"].to_numpy(np.int64),
-            occ["dl"].to_numpy(np.int64),
-            occ["part_id"].to_numpy(np.int32),
+            arr["term_id"], arr["salt"], arr["doc_id"], arr["dl"], arr["part_id"]
         )
         out = _encode_sorted_arrays(tid, sid, did, tfo, dlo, pid, block_size)
         res = pd.DataFrame(out)
