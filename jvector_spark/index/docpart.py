@@ -122,9 +122,12 @@ def build_doc_partitioned(
     )
     obs = Observation("dp_build_metrics")
     blocks = (
+        # JVM-side Tungsten sort feeds the worker run-length-ready input —
+        # same presorted fast path as the term-partitioned build
         enriched.repartition(shuffle_n(enriched), "part_id")
+        .sortWithinPartitions("term_id", "salt", "doc_id")
         .mapInPandas(
-            _encode_occ_map_fn(block_size),
+            _encode_occ_map_fn(block_size, presorted=True),
             schema="part_id int, " + POSTINGS_SCHEMA,
         )
         .observe(
