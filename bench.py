@@ -84,12 +84,17 @@ N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "5000"))
 # (ThroughputBenchmark.java:56-61) — steal-gating just makes the
 # "discard contended runs" rule objective instead of eyeballed.
 SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "6"))
-# 2 clean pairs, not 3: the full-default round-4 run measured ~630 s per
-# pair (1.44M-turn lo leg ≈ 330 s at 1 quota'd core) and 3 clean pairs ate
-# 1878 s of a 2700 s budget, starving throughput/streaming/grid out of the
-# artifact entirely. _median_low over 2 pairs takes the LOWER one — the
-# conservative read — and that run's pairs (1.072 / 1.061 / 0.876) clear
-# the ≥0.8 criterion from any 2-pair subset.
+# 2 clean pairs is the FLOOR, 3 the target (round-5 policy fix): the
+# round-4 archive stopped at 2 clean pairs whose build_effs were 0.81 and
+# 0.61 — consistent with one of them hitting the documented INVISIBLE
+# contention window (BASELINE.md: inflates a single leg 1.3-1.5× without
+# showing as steal) — and _median_low over 2 took the lower one while
+# 1310 s of budget went unused. The loop now extends to a 3rd clean pair
+# whenever the measured pair cost fits the remaining budget, and always
+# when the first two clean pairs disagree by >0.1; _median_low over an
+# odd count is the TRUE median, so the 3-pair read rejects the outlier
+# in either direction. 2 remains the floor so a tight budget still
+# archives a conservative lower-of-2.
 SCALE_CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_CLEAN_PAIRS", "2"))
 # max average steal on the leg's pinned cpus, as a fraction of the leg's
 # quota cores (0.03 → a 4-core leg tolerates 0.12 avg steal cores). On an
@@ -314,21 +319,14 @@ def accuracy_and_pruning(spark) -> dict:
     import __spark_entry__ as entry_mod
     from pyspark.sql import functions as F
 
-    from jvector_spark.index.query import bm25_topk_indexed
-
-    idx = entry_mod._index_for(spark, SF_DIR)
-    m = bm25_topk_indexed(
-        spark, idx, entry_mod._qterms(spark), k=10, prune=True, with_metrics=True
-    )
-    row = (
-        m.groupBy("query_id")
-        .agg(
-            F.first("blocks_decoded").alias("d"),
-            F.first("blocks_skipped").alias("s"),
-        )
-        .agg(F.sum("d").alias("dec"), F.sum("s").alias("skip"))
-        .collect()[0]
-    )
+    # NOTE (round-5 fix, r4 verdict #3): the WAND block counters are NOT
+    # measured here. This section's 3-query set on the sf documents index
+    # (192 blocks) has nothing skippable, so it archived a misleading
+    # wand_skip_ratio of 0.0 in round 4 while the real pruning evidence
+    # (0.307 on the 720k-turn 1000-query transcripts sample) sat in the
+    # throughput section. The throughput section now WRITES its counters
+    # into this dict (see _throughput in main) and fails the section if
+    # pruning ever stops skipping.
     qs = entry_mod.queries()
     from jvector_spark.functions.metrics import map_at_k, mean_metric, recall_at_k
 
@@ -356,11 +354,10 @@ def accuracy_and_pruning(spark) -> dict:
         "query_id", "rank", "doc_id"
     )
     bm25_map = round(mean_metric(map_at_k(got_bm, want_bm, 10), "ap"), 3)
-    dec, skip = int(row["dec"]), int(row["skip"])
     return {
-        "wand_blocks_decoded": dec,
-        "wand_blocks_skipped": skip,
-        "wand_skip_ratio": round(skip / max(dec + skip, 1), 3),
+        # wand_blocks_* / wand_skip_ratio are filled in by the throughput
+        # section (1000-query transcripts sample — the workload where
+        # Block-Max pruning has blocks to skip)
         "bm25_recall_at_10": 1.0,  # rank-identical vs oracle (pytest-enforced)
         "bm25_map_at_10": bm25_map,
         "recall_at_10": recall,
@@ -1029,11 +1026,15 @@ def sharded_scaling(
     # ratios additionally rejects a pair whose window shifted mid-pair
     # (a noised lo inflates its pair, a noised hi deflates it — the median
     # keeps the clean one). All pairs are recorded for transparency.
-    # 3 pairs by default (was 5): the round-3 bench outgrew the driver's
-    # wall-clock budget and the archived artifact was lost to rc=124 — a
-    # parsed 3-pair median beats an unparsed 5-pair one. ``stop_when``
-    # (remaining-budget callback) can end the loop after any pair ≥ 2.
-    pairs_n = int(os.environ.get("SPARK_GRAFT_SHARD_REPEATS", "3"))
+    # 1 pair by default (round-5 demotion, was 3): this section is
+    # MECHANISM EVIDENCE ONLY — it proves the sharded build/scatter-gather
+    # machinery works end-to-end, but its efficiency number swung
+    # 0.35↔0.93 round-to-round purely with harness shape (pinning, proc
+    # core counts, host windows; full matrix in docs/SCALE.md), so extra
+    # pairs buy noise, not signal. The ~300 s per freed pair goes to the
+    # PRIMARY intra-JVM scaling pairs instead. ``stop_when``
+    # (remaining-budget callback) can end the loop after any pair ≥ 1.
+    pairs_n = int(os.environ.get("SPARK_GRAFT_SHARD_REPEATS", "1"))
     # cores per executor-analog process. 2 (not 1): a local[1] Spark JVM
     # legitimately runs >1 core of work (GC, JIT, py4j, Python workers do
     # real compute) — squeezing it to one core measured 2.1× slower SOLO
@@ -1277,7 +1278,12 @@ def _compact_line(result: dict, skipped: list[str]) -> str:
         }
     sh = result.get("scaling_sharded") or {}
     if "build_efficiency" in sh:
+        # diagnostic: proves the multi-process sharded machinery runs
+        # end-to-end; its ratio is harness-shape-sensitive on this host
+        # (docs/SCALE.md) and is NOT the north-rule number — that is
+        # scaling_n_to_4n above
         line["sharded_1_to_4_procs"] = {
+            "diagnostic": True,
             "lo_tps": sh["lo"]["turns_per_sec"],
             "hi_tps": sh["hi"]["turns_per_sec"],
             "eff_median_of_pairs": sh["build_efficiency"],
@@ -1346,12 +1352,16 @@ def main() -> None:
         print(f"[bench +{time.monotonic() - t_start:.0f}s] {msg}",
               file=sys.stderr, flush=True)
 
-    # scratch on tmpfs when present: the synthesized corpus, index output
-    # and shuffle files model an executor's NVMe scratch, not the sandbox's
-    # kernel-heavy virtual disk (see session.get_spark local_dir note)
+    # scratch on tmpfs when present AND big enough: the synthesized corpus,
+    # index output and shuffle files model an executor's NVMe scratch, not
+    # the sandbox's kernel-heavy virtual disk (see session.get_spark
+    # local_dir note). Capacity-gated (ADVICE r4): a 64 MB Docker-default
+    # /dev/shm must fall back to the default tmp dir, not ENOSPC mid-run.
+    from jvector_spark.session import _tmpfs_usable
+
     workdir = tempfile.mkdtemp(
         prefix="jv_bench_",
-        dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None,
+        dir="/dev/shm" if _tmpfs_usable("/dev/shm") else None,
     )
     result: dict = {
         "metric": "transcripts index build + BM25 WAND query suite",
@@ -1548,6 +1558,7 @@ def main() -> None:
 
             lo_runs, hi_runs, pair_rows = [], [], []
             n_clean = 0
+            pair_walls: list[float] = []
             for pair_i in range(SCALE_REPEATS):
                 # leave room for the sharded pair + the tail sections
                 # (streaming/grid were budget-starved in the round-4 dress
@@ -1555,8 +1566,32 @@ def main() -> None:
                 if pair_i >= 1 and remaining() < 1000:
                     break
                 if n_clean >= SCALE_CLEAN_PAIRS:
-                    break
+                    # round-4 lesson: 2 clean pairs + lower-median archived
+                    # 0.61 while the run left 1310 s unused and its OTHER
+                    # pair measured 0.81 — one invisible host window (see
+                    # BASELINE.md) becomes the headline. Extend to a 3rd
+                    # clean pair whenever the budget covers it (measured
+                    # pair cost + the ~1000 s tail reserve), and ALWAYS
+                    # when the clean pairs disagree by >0.1 (the objective
+                    # "one of these saw a window" trigger); median-of-3
+                    # then rejects the outlier. 3 clean pairs is the cap.
+                    if n_clean >= 3:
+                        break
+                    clean_effs = sorted(
+                        p["build_eff"] for p in pair_rows if p["clean"])
+                    disagree = (
+                        len(clean_effs) >= 2
+                        and clean_effs[-1] - clean_effs[0] > 0.1
+                    )
+                    pair_cost = max(pair_walls) if pair_walls else 700.0
+                    # a disagreement tiebreaker tolerates a thinner tail
+                    # reserve: losing one tail section is cheaper than
+                    # archiving a window-poisoned lower-of-2 median
+                    reserve = 400.0 if disagree else 1000.0
+                    if remaining() < pair_cost + reserve:
+                        break
                 base = (pair_i * (SCALE_LO + SCALE_HI + 3)) % 24
+                t_pair = time.monotonic()
                 try:
                     lo = one(SCALE_LO, pin_base=base)
                     hi = one(SCALE_HI, pin_base=base + SCALE_LO + 1)
@@ -1566,6 +1601,7 @@ def main() -> None:
                         f"pair {pair_i}: {e}"[:300]
                     )
                     break
+                pair_walls.append(time.monotonic() - t_pair)
                 lo_runs.append(lo)
                 hi_runs.append(hi)
                 ratio = SCALE_HI / SCALE_LO
@@ -1669,7 +1705,24 @@ def main() -> None:
         section("shard_verify", 150, _shard_verify)
 
     def _throughput():
-        result["throughput"] = transcripts_job(spark2, src, workdir, warmup=True)
+        th = transcripts_job(spark2, src, workdir, warmup=True)
+        result["throughput"] = th
+        # the REAL WAND pruning evidence (r4 verdict #3): block counters
+        # from the 1000-query sample over the 720k-turn transcripts index
+        # land in accuracy.* where readers look for them, and a zero skip
+        # ratio is a hard section failure so a pruning regression cannot
+        # hide behind a plausible-looking artifact
+        acc = result.setdefault("accuracy", {})
+        if isinstance(acc, dict):
+            acc["wand_blocks_decoded"] = th["wand_blocks_decoded"]
+            acc["wand_blocks_skipped"] = th["wand_blocks_skipped"]
+            acc["wand_skip_ratio"] = th["wand_skip_ratio"]
+            acc["wand_counters_source"] = (
+                "throughput section: 1000-query sample, transcripts index")
+        if th["wand_blocks_skipped"] == 0 and th["wand_blocks_decoded"] > 0:
+            raise RuntimeError(
+                "Block-Max WAND skipped 0 blocks on the transcripts "
+                "workload — pruning regression")
 
     section("throughput", 250, _throughput)
 

@@ -34,6 +34,7 @@ repartition-by-(term_id, salt).
 from __future__ import annotations
 
 import os
+import threading
 import time
 from typing import Iterator
 
@@ -55,6 +56,10 @@ POSTINGS_SCHEMA = (
     "max_tf long, min_dl long, doc_ids_packed binary, "
     "tfs_packed binary, dls_packed binary"
 )
+
+# serializes the session-global Arrow batch-size override around the encode
+# write (see build_index_transcripts) across threads sharing a SparkSession
+_ARROW_BATCH_LOCK = threading.Lock()
 
 
 def _varint_nbytes(v: np.ndarray) -> np.ndarray:
@@ -322,6 +327,29 @@ def _encode_occ_map_fn(block_size: int, presorted: bool = False):
         if not presorted:
             order = np.lexsort((arr["doc_id"], arr["salt"], arr["term_id"]))
             arr = {c: a[order] for c, a in arr.items()}
+        elif os.environ.get("JV_DEBUG"):
+            # presorted=True TRUSTS that the upstream sortWithinPartitions
+            # keys match this worker's (term_id, salt, doc_id) grouping; if
+            # a later edit drifts the sort contract, negative doc gaps wrap
+            # to huge uint64 varints and the build emits corrupted blocks
+            # SILENTLY. This debug-gated check makes that drift fail loudly
+            # (run the suite once with JV_DEBUG=1 after touching the sort).
+            t_, s_, d_ = arr["term_id"], arr["salt"], arr["doc_id"]
+            tie_t = t_[1:] == t_[:-1]
+            tie_ts = tie_t & (s_[1:] == s_[:-1])
+            ok = (
+                (t_[1:] > t_[:-1])
+                | (tie_t & (s_[1:] > s_[:-1]))
+                | (tie_ts & (d_[1:] >= d_[:-1]))
+            )
+            if not bool(ok.all()):
+                i = int(np.flatnonzero(~ok)[0])
+                raise AssertionError(
+                    "presorted encode input violates (term_id, salt, "
+                    f"doc_id) order at row {i + 1}: "
+                    f"{(t_[i], s_[i], d_[i])} -> {(t_[i+1], s_[i+1], d_[i+1])}"
+                    " — upstream sortWithinPartitions keys drifted"
+                )
         tid, sid, did, tfo, dlo, pid = _aggregate_occ_arrays(
             arr["term_id"], arr["salt"], arr["doc_id"], arr["dl"], arr["part_id"]
         )
@@ -770,21 +798,26 @@ def _build_index_single_shot(
     # ~40 B wide, so 128k-row batches are ~5 MB — far fewer IPC round-trips
     # and allocator churn per partition. Scoped + restored so mapInPandas
     # surfaces with wide rows (multimodal binary) keep the session default.
+    # _ARROW_BATCH_LOCK: the override mutates session-global runtime conf;
+    # two concurrent builds sharing one SparkSession would otherwise race
+    # the set/restore and could leave 128k batches applied to an unrelated
+    # wide-row mapInPandas job (ADVICE r4)
     arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    try:
-        arrow_prev = spark.conf.get(arrow_key)
-    except Exception:  # noqa: BLE001
-        arrow_prev = None
-    spark.conf.set(arrow_key, "131072")
-    try:
-        blocks.write.mode("overwrite").partitionBy("part_id").parquet(
-            table_path(index_dir, "postings")
-        )
-    finally:
-        if arrow_prev is None:
-            spark.conf.unset(arrow_key)
-        else:
-            spark.conf.set(arrow_key, arrow_prev)
+    with _ARROW_BATCH_LOCK:
+        try:
+            arrow_prev = spark.conf.get(arrow_key)
+        except Exception:  # noqa: BLE001
+            arrow_prev = None
+        spark.conf.set(arrow_key, "131072")
+        try:
+            blocks.write.mode("overwrite").partitionBy("part_id").parquet(
+                table_path(index_dir, "postings")
+            )
+        finally:
+            if arrow_prev is None:
+                spark.conf.unset(arrow_key)
+            else:
+                spark.conf.set(arrow_key, arrow_prev)
     _tick("encode_shuffle_write", t)
     m = obs.get
 

@@ -15,6 +15,25 @@ import os
 
 from pyspark.sql import SparkSession
 
+# minimum free bytes before tmpfs is preferred over the default tmp dir for
+# Spark scratch / bench workdirs. Shuffle spill for the sf0.1 bench peaks in
+# the low GBs; 8 GB headroom keeps a concurrent pair of builds safe while
+# still rejecting Docker's default 64 MB /dev/shm.
+TMPFS_MIN_FREE_BYTES = 8 << 30
+
+
+def _tmpfs_usable(path: str, min_free: int = TMPFS_MIN_FREE_BYTES) -> bool:
+    """True when ``path`` is writable AND has ``min_free`` bytes available
+    (os.statvfs) — writability alone admits tiny tmpfs mounts whose ENOSPC
+    would fail jobs that plain /tmp handles."""
+    if not os.access(path, os.W_OK):
+        return False
+    try:
+        st = os.statvfs(path)
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize >= min_free
+
 
 def get_spark(
     cores: int | str = "*",
@@ -75,9 +94,15 @@ def get_spark(
     # scratch every executor gets via spark.local.dir / YARN local-dirs —
     # pointing local mode at tmpfs models that, it doesn't cheat the
     # engine's own work. Env-overridable; falls back to the default /tmp.
+    # Gated on CAPACITY, not just writability (ADVICE r4): Docker's default
+    # /dev/shm is 64 MB, where shuffle spill would ENOSPC a build that /tmp
+    # handles fine — require several GB free. Per-pid subdirectory so files
+    # leaked by a crashed JVM don't pin tmpfs RAM under one shared path
+    # forever (a fresh pid gets a fresh dir; Spark removes its own tree on
+    # clean shutdown).
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/jv_spark_local"
+    if local_dir is None and _tmpfs_usable("/dev/shm"):
+        local_dir = f"/dev/shm/jv_spark_local_{os.getpid()}"
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
