@@ -251,6 +251,12 @@ _AUDIT_ONLY = frozenset(
         "tfidf_topk", "boolean_and", "boolean_or", "filter_topk",
         "phrase_count3", "phrase_count",
         "scan_filter", "hash_join", "sort_limit",
+        # exact batch scan: the brute twin of the compressed batch tiers —
+        # ann_topk_sq8_batch AND ann_topk_bq_batch both hash against the
+        # same exact-batch SQL oracle, so the exact path's semantics stay
+        # driver-checked through them; cosine_topk_batch itself remains
+        # pytest- and plan-audit-covered (r5: slot freed for the BQ batch)
+        "ann_topk_batch",
     }
 )
 
@@ -715,6 +721,27 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "rank", "vec_id", _u6(F.col("cos")).alias("cos_u6")
         )
 
+    def q_ann_topk_bq_batch(spark, sf):
+        # batch serving of the cheapest tier: ONE Hamming scan (agreement
+        # GEMM over the 1-bit sign codes, 32× fewer scan bytes) scores all
+        # five queries + exact rerank — must be rank-identical to the exact
+        # batch scan (same oracle as ann_topk_sq8_batch; the reference
+        # drives its compressed tiers under the same parallel query stream,
+        # ThroughputBenchmark.java:188-236). Codes come from the persisted
+        # structure (one build per sf_dir, one scan per batch).
+        from jvector_spark.index.vectors import bq_load
+        from jvector_spark.operators.bq import ann_topk_bq_batch
+
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        _, codes = bq_load(spark, _bq_index_for(spark, sf))
+        t = ann_topk_bq_batch(emb, qs, k=10, codes=codes)
+        return t.select(
+            "query_id", "rank", "vec_id", _u6(F.col("cos")).alias("cos_u6")
+        )
+
     def q_scan_filter(spark, sf):
         li = _read(spark, sf, "lineitem")
         return li.filter(
@@ -834,6 +861,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bq": q_ann_topk_bq,
         "ann_topk_batch": q_ann_topk_batch,
         "ann_topk_sq8_batch": q_ann_topk_sq8_batch,
+        "ann_topk_bq_batch": q_ann_topk_bq_batch,
         "scan_filter": q_scan_filter,
         "group_agg": q_group_agg,
         "hash_join": q_hash_join,
@@ -1244,6 +1272,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_batch": _ANN_TOPK_BATCH_SQL,
         # batch SQ8 two-phase must equal the exact batch scan — same oracle
         "ann_topk_sq8_batch": _ANN_TOPK_BATCH_SQL,
+        # batch BQ (Hamming first pass) must also equal the exact batch scan
+        "ann_topk_bq_batch": _ANN_TOPK_BATCH_SQL,
         # ann_topk_lsh / ann_topk_ivf: approximate operators (hyperplanes /
         # k-means centroids live in numpy) — intentionally no SQL oracle
         # (driver records rows-only); full-probe == exact and recall floors

@@ -358,6 +358,48 @@ def sq8_extend(
     return int(n)
 
 
+def sq8_drift(
+    spark: SparkSession,
+    index_dir: str,
+    embeddings: DataFrame,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """SQ8 analog of :func:`pq_drift` (r4 verdict #7): ``sq8_extend``
+    CLIPS values outside the trained per-dim [min, max] silently (bounded
+    error, absorbed by the exact rerank) — this is the health metric that
+    makes that silence visible. Over a bounded deterministic sample of the
+    CURRENT corpus it reports the fraction of (vector, dim) values that
+    fall outside the trained range (``clip_fraction`` — exactly the values
+    ``sq8_encode`` would clamp) and the worst overshoot in code units
+    (``max_overshoot_codes`` — how many 1/255 steps beyond the edge).
+    A fresh build measures 0.0 by construction (params ARE the corpus
+    min/max), so any nonzero fraction after extends means the distribution
+    moved; refine (``sq8_build`` over the current corpus) clears it.
+    Same implied health-check idiom as the PQ refine loop
+    (ProductQuantization.java:159-196)."""
+    mn, scale = sq8_read_params(spark, index_dir)
+    pdf = (
+        embeddings.select(id_col, vec_col).orderBy(id_col)
+        .limit(int(sample_size)).toPandas()
+    )
+    if len(pdf) == 0:
+        return {"clip_fraction": 0.0, "max_overshoot_codes": 0.0, "n_sampled": 0}
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    codes = (X - mn) / scale  # pre-clip code coordinates
+    overshoot = np.maximum(np.maximum(-codes, codes - 255.0), 0.0)
+    # 1e-6 code units of tolerance: a value AT the trained edge reproduces
+    # float rounding noise (~1e-14 codes), not a clip — a real clamp loses
+    # at least a representable fraction of a 1/255 step
+    overshoot[overshoot < 1e-6] = 0.0
+    return {
+        "clip_fraction": float((overshoot > 0).mean()),
+        "max_overshoot_codes": float(overshoot.max()),
+        "n_sampled": int(len(X)),
+    }
+
+
 def ann_topk_sq8_indexed(
     spark: SparkSession,
     index_dir: str,

@@ -1054,15 +1054,37 @@ def ann_topk_sq8_batch(
     partial = codes.mapInPandas(
         approx_fn, schema=f"{qid_col} long, {id_col} long, approx double"
     )
+    return exact_rerank_batch(
+        embeddings, partial, qids, Qn, k, rr, id_col, vec_col, qid_col
+    )
+
+
+def exact_rerank_batch(
+    embeddings: DataFrame,
+    partial: DataFrame,
+    qids: np.ndarray,
+    Qn: np.ndarray,
+    k: int,
+    rerank: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Shared second phase of every compressed-tier batch server (SQ8 /
+    PQ / BQ): a bounded window keeps ``rerank`` candidates per query from
+    ``partial`` (qid, id, approx — per-partition tops of the compressed
+    scan), one gather join ships each candidate vector once, and the exact
+    kernel scores row i against its own query's unit vector
+    (closure-shipped ``Qn``, gathered by query_id). The window input is
+    ≤ rerank × partitions rows per query by construction — never
+    corpus-sized."""
+    rr = int(rerank)
     w = Window.partitionBy(qid_col).orderBy(F.desc("approx"), F.asc(id_col))
     cand = (
         partial.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= rr)
         .select(qid_col, id_col)
     )
-    # exact rerank over the candidate union: one gather join ships each
-    # candidate vector once; the kernel scores row i against its own
-    # query's vector (closure-shipped Qn, gathered by query_id)
     qpos = {int(q): i for i, q in enumerate(qids)}
     joined = cand.join(embeddings.select(id_col, vec_col), id_col)
 

@@ -362,3 +362,72 @@ def test_ann_sq8_batch_equals_exact_batch(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_ann_bq_batch_equals_per_query_and_exact(spark):
+    """BQ batch serving ≡ per-query BQ ≡ exact batch scan at the default
+    margin (r4 verdict #5): one Hamming scan for the whole query table,
+    same reference idiom as the SQ8 batch test above. Also covers the M1
+    delete mask on the batch path and the empty-query-table edge."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.bq import ann_topk_bq, ann_topk_bq_batch
+    from jvector_spark.operators.similarity import cosine_topk_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    want = [
+        (r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+        for r in cosine_topk_batch(emb, qs, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    got = [
+        (r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+        for r in ann_topk_bq_batch(emb, qs, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want
+
+    # batch ≡ per-query at a NON-default (tight) margin too: both phases
+    # must make identical candidate cuts, not just both reach the oracle
+    per_q = []
+    for qid in (0, 1, 2, 3):
+        qv = list(
+            emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]
+        )
+        per_q += [
+            (qid, r.rank, r.vec_id, round(r.cos, 9))
+            for r in ann_topk_bq(emb, qv, k=10, rerank=64).collect()
+        ]
+    got_tight = [
+        (r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+        for r in ann_topk_bq_batch(emb, qs, k=10, rerank=64)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got_tight == sorted(per_q)
+
+    # M1 delete mask: tombstoned ids neither surface nor eat rerank budget
+    dead = {r[1] for r in want if r[0] == 0 and r[1] <= 3}  # some top ids
+    deleted = spark.createDataFrame([(int(i),) for i in dead], "vec_id long")
+    live = emb.join(F.broadcast(deleted), "vec_id", "left_anti")
+    want_live = [
+        (r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+        for r in cosine_topk_batch(live, qs, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    got_live = [
+        (r.query_id, r.rank, r.vec_id, round(r.cos, 9))
+        for r in ann_topk_bq_batch(emb, qs, k=10, deleted=deleted)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got_live == want_live
+
+    empty = qs.filter(F.lit(False))
+    assert ann_topk_bq_batch(emb, empty, k=10).count() == 0

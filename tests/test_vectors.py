@@ -361,3 +361,34 @@ def test_lsh_delete_mask_equals_prefiltered_corpus(spark, embeddings):
     ]
     assert got == want
     assert not {v for _, v, _ in got} & set(top)
+
+
+def test_sq8_drift_flags_clipping_and_refine_clears_it(spark, embeddings, tmp_path):
+    """SQ8 drift metric (r4 verdict #7): a fresh build measures zero clip
+    fraction by construction; extend-with-shifted-data flags the silent
+    clipping ``sq8_extend`` performs; refine (rebuild over the current
+    corpus) clears it."""
+    from jvector_spark.index.vectors import sq8_build, sq8_drift, sq8_extend
+
+    d = str(tmp_path / "sq8_drift")
+    sq8_build(embeddings, d)
+    fresh = sq8_drift(spark, d, embeddings)
+    assert fresh["clip_fraction"] == 0.0
+    assert fresh["max_overshoot_codes"] == 0.0
+    assert fresh["n_sampled"] > 0
+
+    # distribution shift: scale + offset pushes values past the trained
+    # per-dim [min, max] — exactly what sq8_extend would clamp silently
+    shifted = embeddings.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0 + 1.0).alias("embedding"),
+    )
+    sq8_extend(shifted, d)
+    moved = sq8_drift(spark, d, shifted)
+    assert moved["clip_fraction"] > 0.05
+    assert moved["max_overshoot_codes"] > 1.0
+
+    # refine = rebuild over the CURRENT corpus: params re-cover the range
+    sq8_build(embeddings.select("vec_id", "embedding").union(shifted), d)
+    cleared = sq8_drift(spark, d, shifted)
+    assert cleared["clip_fraction"] == 0.0
