@@ -146,6 +146,35 @@ def make_transcripts_distributed(
     )
 
 
+def make_embeddings_pdf(
+    n_vecs: int = 512, dim: int = 32, n_clusters: int = 8, seed: int = 314
+) -> pd.DataFrame:
+    """Deterministic clustered embeddings (vec_id:int64, embedding:list<f64>)
+    — the committed-golden analog of the reference's bundled
+    siftsmall_base.fvecs: a fixed seeded vector set the persisted PQ/SQ8/BQ
+    structures are generated from and re-derived in tests, so the golden
+    artifacts never depend on external data. Gaussian clusters give PQ
+    codebooks real structure to learn."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 1.0, size=(n_clusters, dim))
+    assign = rng.integers(0, n_clusters, size=n_vecs)
+    vecs = centers[assign] + rng.normal(0.0, 0.25, size=(n_vecs, dim))
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n_vecs, dtype=np.int64),
+            "embedding": [row.tolist() for row in vecs],
+        }
+    )
+
+
+def make_embeddings(spark, n_vecs: int = 512, dim: int = 32, seed: int = 314):
+    """Spark DataFrame of the synthetic embeddings (Arrow path)."""
+    return spark.createDataFrame(
+        make_embeddings_pdf(n_vecs=n_vecs, dim=dim, seed=seed),
+        "vec_id long, embedding array<double>",
+    )
+
+
 def make_query_set(n_queries: int = 100, seed: int = 7) -> pd.DataFrame:
     """Fixed reference query set: (query_id, terms, k).
 

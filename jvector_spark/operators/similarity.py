@@ -101,14 +101,19 @@ def cosine_topk(
 
     ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — every
     partition keeps a local k-heap and only k rows per partition reach the
-    driver-side merge, so this scans 10^12 rows without a global sort. The
-    rank window then runs over ≤ k rows (a single tiny partition by
-    construction, not a scale hazard)."""
+    driver-side merge, so this scans 10^12 rows without a global sort.
+    Rank is then derived WITHOUT a window: the ≤ k survivors coalesce to
+    one partition (global limit output is single-partition already; the
+    coalesce makes that explicit), a within-partition sort fixes the
+    order, and ``monotonically_increasing_id`` on partition 0 counts
+    0..k-1 in that order. This keeps WindowExec's single-partition
+    warning a real signal elsewhere instead of noise every query."""
     scored = cosine_scores(embeddings, query_vec, id_col, vec_col)
     top = scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("cos"), F.asc(id_col))
     return (
-        top.withColumn("rank", F.row_number().over(w))
+        top.coalesce(1)
+        .sortWithinPartitions(F.desc("cos"), F.asc(id_col))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
         .select("rank", id_col, "cos")
     )
 

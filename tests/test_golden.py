@@ -57,6 +57,50 @@ def test_golden_positions_feature_still_decodes(spark, golden_case):
     assert n > 0
 
 
+@pytest.fixture(scope="module")
+def vec_golden_case():
+    path = os.path.join(GOLDEN, "vec_expected_topk.json")
+    if not os.path.exists(path):
+        pytest.skip("vector golden fixtures not generated")
+    with open(path) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("tier", ["pq", "sq8", "bq"])
+def test_golden_vector_tier_loads_and_answers(spark, vec_golden_case, tier):
+    """Committed PQ/SQ8/BQ structures must keep loading and answering
+    rank-identically (the version0.pq idiom for the vector-tier formats,
+    TestProductQuantization.java:216-231): a format-breaking change to
+    index/vectors.py fails HERE without regenerating the artifacts."""
+    from jvector_spark.fixtures import make_embeddings, make_embeddings_pdf
+    from jvector_spark.index.vectors import (
+        ann_topk_bq_indexed,
+        ann_topk_pq_indexed,
+        ann_topk_sq8_indexed,
+        read_manifest,
+    )
+
+    runners = {
+        "pq": ann_topk_pq_indexed,
+        "sq8": ann_topk_sq8_indexed,
+        "bq": ann_topk_bq_indexed,
+    }
+    idx = os.path.join(GOLDEN, f"{tier}_index")
+    man = read_manifest(spark, idx)
+    assert man["kind"] == tier and man["dim"] == 32
+
+    emb = make_embeddings(spark).cache()
+    pdf = make_embeddings_pdf()
+    k = vec_golden_case["k"]
+    for qi, vid in enumerate(vec_golden_case["query_vec_ids"]):
+        qv = list(pdf.loc[pdf["vec_id"] == vid, "embedding"].iloc[0])
+        got = [
+            {"rank": r.rank, "vec_id": r.vec_id, "cos_u9": int(r.cos * 1e9 + 0.5)}
+            for r in runners[tier](spark, idx, emb, qv, k=k).collect()
+        ]
+        assert got == vec_golden_case["tiers"][tier][qi]
+
+
 def test_golden_doc_map_text_invariant(spark, golden_case):
     """Per-turn natural-key invariant holds for the committed index."""
     from pyspark.sql import functions as F
