@@ -270,11 +270,13 @@ def _aggregate_occ_arrays(
     salt: np.ndarray,
     doc: np.ndarray,
     dl: np.ndarray,
-    part: np.ndarray,
+    part: np.ndarray | None,
 ) -> tuple:
     """Run-length tf aggregation over (term, salt, doc)-sorted arrays.
     All-unique input (tf ≡ 1 — the dominant case for short turns) skips
-    the six full-size gathers entirely."""
+    the six full-size gathers entirely. ``part`` is optional: the
+    narrowed-exchange build paths derive part_id JVM-side after encoding
+    instead of shipping it per occurrence."""
     n = len(term)
     start = np.ones(n, dtype=bool)
     start[1:] = (
@@ -285,11 +287,14 @@ def _aggregate_occ_arrays(
         return term, salt, doc, np.ones(n, dtype=np.int64), dl, part
     counts = np.diff(np.append(starts, n)).astype(np.int64)
     return (
-        term[starts], salt[starts], doc[starts], counts, dl[starts], part[starts]
+        term[starts], salt[starts], doc[starts], counts, dl[starts],
+        part[starts] if part is not None else None,
     )
 
 
-def _encode_occ_map_fn(block_size: int, presorted: bool = False):
+def _encode_occ_map_fn(
+    block_size: int, presorted: bool = False, carry_part_id: bool = True
+):
     """mapInPandas fn: occurrence rows → in-worker tf aggregation → fused
     posting blocks (single-shuffle build path). ``presorted`` — see
     :func:`aggregate_occurrences_pdf`; Arrow batch boundaries never break
@@ -297,19 +302,28 @@ def _encode_occ_map_fn(block_size: int, presorted: bool = False):
 
     The presorted path stays in numpy end-to-end (to_numpy views of the
     Arrow columns → run-length → block encode → one output DataFrame) —
-    no intermediate pandas frame, no consolidation copies."""
+    no intermediate pandas frame, no consolidation copies.
+
+    ``carry_part_id=False`` drops part_id from the shuffled occurrence
+    row entirely: it is a pure function of (term_id, salt), so shipping
+    it per occurrence pays ~17 % more exchange bytes (an 8-byte UnsafeRow
+    slot holding a high-entropy hash the shuffle codec cannot compress)
+    for a value the caller can recompute JVM-side over the ~1000×-smaller
+    block relation after encoding."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-column np.concatenate over the Arrow batches, NOT pd.concat:
         # pandas consolidation would copy all 5 columns into one 2D block
         # (strided writes — pure memory-bandwidth burn in every worker)
         cols: dict[str, list[np.ndarray]] = {
-            "part_id": [], "term_id": [], "salt": [], "doc_id": [], "dl": []
+            "term_id": [], "salt": [], "doc_id": [], "dl": []
         }
         dts = {
             "part_id": np.int32, "term_id": np.int64, "salt": np.int32,
             "doc_id": np.int64, "dl": np.int64,
         }
+        if carry_part_id:
+            cols = {"part_id": [], **cols}
         n_rows = 0
         for p in it:
             if len(p) == 0:
@@ -318,7 +332,7 @@ def _encode_occ_map_fn(block_size: int, presorted: bool = False):
             for c, acc in cols.items():
                 acc.append(p[c].to_numpy(dts[c]))
         if n_rows == 0:
-            yield _empty_postings_pdf(carry_part_id=True)
+            yield _empty_postings_pdf(carry_part_id=carry_part_id)
             return
         arr = {
             c: (acc[0] if len(acc) == 1 else np.concatenate(acc))
@@ -351,12 +365,14 @@ def _encode_occ_map_fn(block_size: int, presorted: bool = False):
                     " — upstream sortWithinPartitions keys drifted"
                 )
         tid, sid, did, tfo, dlo, pid = _aggregate_occ_arrays(
-            arr["term_id"], arr["salt"], arr["doc_id"], arr["dl"], arr["part_id"]
+            arr["term_id"], arr["salt"], arr["doc_id"], arr["dl"],
+            arr["part_id"] if carry_part_id else None,
         )
         out = _encode_sorted_arrays(tid, sid, did, tfo, dlo, pid, block_size)
         res = pd.DataFrame(out)
         res["salt"] = res["salt"].astype("int32")
-        res["part_id"] = res["part_id"].astype("int32")
+        if carry_part_id:
+            res["part_id"] = res["part_id"].astype("int32")
         yield res
 
     return fn
@@ -764,11 +780,7 @@ def _build_index_single_shot(
                 F.col("n_salts") - 1,
             ).cast("int"),
         )
-        .withColumn(
-            "part_id",
-            F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_parts)).cast("int"),
-        )
-        .select("part_id", "term_id", "salt", "doc_id", "dl")
+        .select("term_id", "salt", "doc_id", "dl")
     )
     obs = Observation("build_metrics")
     blocks = (
@@ -776,12 +788,21 @@ def _build_index_single_shot(
         # cache-efficient and keeps scaling when several workers share a
         # socket, so the Arrow worker gets run-length-reducible input and
         # never sorts (presorted=True) — the python lexsort it replaces was
-        # the build's main memory-bandwidth hog
-        enriched.repartition(shuffle_n(enriched), "part_id", "term_id", "salt")
+        # the build's main memory-bandwidth hog.
+        # The occurrence row the exchange moves is the MINIMAL one:
+        # (term_id, salt, doc_id, dl). part_id = pmod(xxhash64(term_id,
+        # salt), n_parts) is recomputed below over the ~block_size×-smaller
+        # block relation — shipping it per occurrence cost ~17 % more
+        # exchange bytes for a high-entropy value the codec can't compress.
+        enriched.repartition(shuffle_n(enriched), "term_id", "salt")
         .sortWithinPartitions("term_id", "salt", "doc_id")
         .mapInPandas(
-            _encode_occ_map_fn(block_size, presorted=True),
-            schema="part_id int, " + POSTINGS_SCHEMA,
+            _encode_occ_map_fn(block_size, presorted=True, carry_part_id=False),
+            schema=POSTINGS_SCHEMA,
+        )
+        .withColumn(
+            "part_id",
+            F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_parts)).cast("int"),
         )
         .observe(
             obs,
@@ -808,7 +829,7 @@ def _build_index_single_shot(
             arrow_prev = spark.conf.get(arrow_key)
         except Exception:  # noqa: BLE001
             arrow_prev = None
-        spark.conf.set(arrow_key, "131072")
+        spark.conf.set(arrow_key, os.environ.get("JV_ARROW_BATCH", "131072"))
         try:
             blocks.write.mode("overwrite").partitionBy("part_id").parquet(
                 table_path(index_dir, "postings")

@@ -117,19 +117,22 @@ def build_doc_partitioned(
         .withColumn(
             "salt", (F.col("doc_id") / F.lit(bucket_width)).cast("int")
         )
-        .withColumn("part_id", F.col("salt"))
-        .select("part_id", "term_id", "salt", "doc_id", "dl")
+        .select("term_id", "salt", "doc_id", "dl")
     )
     obs = Observation("dp_build_metrics")
     blocks = (
         # JVM-side Tungsten sort feeds the worker run-length-ready input —
-        # same presorted fast path as the term-partitioned build
-        enriched.repartition(shuffle_n(enriched), "part_id")
+        # same presorted fast path as the term-partitioned build. part_id
+        # IS the bucket (== salt), so it is re-derived over the block
+        # relation after encoding instead of riding every occurrence row
+        # through the exchange (same minimal-row rationale as build.py).
+        enriched.repartition(shuffle_n(enriched), "salt")
         .sortWithinPartitions("term_id", "salt", "doc_id")
         .mapInPandas(
-            _encode_occ_map_fn(block_size, presorted=True),
-            schema="part_id int, " + POSTINGS_SCHEMA,
+            _encode_occ_map_fn(block_size, presorted=True, carry_part_id=False),
+            schema=POSTINGS_SCHEMA,
         )
+        .withColumn("part_id", F.col("salt"))
         .observe(
             obs,
             F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
