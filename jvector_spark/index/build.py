@@ -293,7 +293,8 @@ def _aggregate_occ_arrays(
 
 
 def _encode_occ_map_fn(
-    block_size: int, presorted: bool = False, carry_part_id: bool = True
+    block_size: int, presorted: bool = False, carry_part_id: bool = True,
+    packed_bits: tuple[int, int] | None = None,
 ):
     """mapInPandas fn: occurrence rows → in-worker tf aggregation → fused
     posting blocks (single-shuffle build path). ``presorted`` — see
@@ -309,7 +310,64 @@ def _encode_occ_map_fn(
     it per occurrence pays ~17 % more exchange bytes (an 8-byte UnsafeRow
     slot holding a high-entropy hash the shuffle codec cannot compress)
     for a value the caller can recompute JVM-side over the ~1000×-smaller
-    block relation after encoding."""
+    block relation after encoding.
+
+    ``packed_bits=(salt_bits, dl_bits)`` switches the input contract to
+    the PACKED two-column exchange row: ``ts = term_id << salt_bits |
+    salt`` and ``dd = doc_id << dl_bits | dl`` (shift widths chosen by the
+    caller from driver-known maxima so nothing truncates). Two int64 slots
+    instead of four halves the UnsafeRow payload the corpus-sized shuffle
+    writes, reads, and sorts, and the Tungsten sort compares (ts, dd)
+    pairs whose first key is a single long — lexicographically identical
+    to (term_id, salt, doc_id) because the packs are order-preserving.
+    tf run-length aggregation happens on the packed columns (two
+    comparisons per row instead of three) and only the surviving rows are
+    unpacked. Requires ``presorted`` and ``carry_part_id=False``."""
+    if packed_bits is not None:
+        assert presorted and not carry_part_id, "packed path is presorted-only"
+
+    def fn_packed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        salt_bits, dl_bits = packed_bits
+        ts_acc: list[np.ndarray] = []
+        dd_acc: list[np.ndarray] = []
+        for p in it:
+            if len(p):
+                ts_acc.append(p["ts"].to_numpy(np.int64))
+                dd_acc.append(p["dd"].to_numpy(np.int64))
+        if not ts_acc:
+            yield _empty_postings_pdf(carry_part_id=False)
+            return
+        ts = ts_acc[0] if len(ts_acc) == 1 else np.concatenate(ts_acc)
+        dd = dd_acc[0] if len(dd_acc) == 1 else np.concatenate(dd_acc)
+        if os.environ.get("JV_DEBUG"):
+            ok = (ts[1:] > ts[:-1]) | ((ts[1:] == ts[:-1]) & (dd[1:] >= dd[:-1]))
+            if not bool(ok.all()):
+                i = int(np.flatnonzero(~ok)[0])
+                raise AssertionError(
+                    "packed presorted encode input violates (ts, dd) order "
+                    f"at row {i + 1}: {(ts[i], dd[i])} -> {(ts[i+1], dd[i+1])}"
+                    " — upstream sortWithinPartitions keys drifted"
+                )
+        n = len(ts)
+        start = np.ones(n, dtype=bool)
+        start[1:] = (ts[1:] != ts[:-1]) | (dd[1:] != dd[:-1])
+        starts = np.flatnonzero(start)
+        if starts.size == n:
+            tfo = np.ones(n, dtype=np.int64)
+        else:
+            tfo = np.diff(np.append(starts, n)).astype(np.int64)
+            ts, dd = ts[starts], dd[starts]
+        tid = ts >> salt_bits
+        sid = (ts & ((1 << salt_bits) - 1)).astype(np.int32)
+        did = dd >> dl_bits
+        dlo = dd & ((1 << dl_bits) - 1)
+        out = _encode_sorted_arrays(tid, sid, did, tfo, dlo, None, block_size)
+        res = pd.DataFrame(out)
+        res["salt"] = res["salt"].astype("int32")
+        yield res
+
+    if packed_bits is not None:
+        return fn_packed
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-column np.concatenate over the Arrow batches, NOT pd.concat:
@@ -737,13 +795,19 @@ def _build_index_single_shot(
 
     obs_stats = Observation("corpus_stats")
     dstats = dstats.observe(
-        obs_stats, F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        obs_stats, F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        # doc_id/dl maxima ride the same pass for free: they size the
+        # packed exchange row's shift widths (and gate its feasibility)
+        F.max("dl").alias("max_dl"),
+        F.max("doc_id").alias("max_doc"), F.min("doc_id").alias("min_doc"),
     )
     t = time.perf_counter()
     write_table(dstats, index_dir, "doc_stats")
     _tick("doc_stats_write", t)
     st = obs_stats.get
     n_docs, avgdl = int(st["n"]), float(st["avgdl"])
+    max_dl = int(st["max_dl"] or 0)
+    max_doc, min_doc = int(st["max_doc"] or 0), int(st["min_doc"] or 0)
 
     # pre-dictionary: term_id (dense, lexicographic) + cf + salt plan; one
     # aggregated shuffle whose output is vocabulary-, not corpus-, sized
@@ -780,8 +844,50 @@ def _build_index_single_shot(
                 F.col("n_salts") - 1,
             ).cast("int"),
         )
-        .select("term_id", "salt", "doc_id", "dl")
     )
+    # PACKED exchange row: ts = term_id << salt_bits | salt, dd = doc_id
+    # << dl_bits | dl — two int64 slots instead of four halves the
+    # UnsafeRow payload the corpus-sized shuffle writes/reads/sorts, and
+    # both packs are order-preserving, so sorting (ts, dd) IS sorting
+    # (term_id, salt, doc_id). Shift widths come from driver-known maxima
+    # (vocab size + max n_salts off the cached pre-dictionary, max dl /
+    # doc_id observed on the doc_stats pass); if the input could overflow
+    # a 63-bit pack (absurd ids) the build falls back to the 4-column row.
+    t = time.perf_counter()
+    vstats = dct_pre.agg(
+        F.count("*").alias("v"), F.max("n_salts").alias("ms")
+    ).first()
+    vocab_n, max_salts = int(vstats["v"] or 0), int(vstats["ms"] or 1)
+    salt_bits = max(1, (max(max_salts - 1, 1)).bit_length())
+    dl_bits = max(1, max(max_dl, 1).bit_length())
+    packable = (
+        min_doc >= 0
+        and ((vocab_n - 1) << salt_bits) + (1 << salt_bits) - 1 < (1 << 63)
+        and (max_doc << dl_bits) + max_dl < (1 << 63)
+    )
+    phases.append(("pack_plan", time.perf_counter() - t))
+    if packable:
+        enriched = enriched.select(
+            (F.shiftleft("term_id", salt_bits)
+             + F.col("salt").cast("long")).alias("ts"),
+            (F.shiftleft(F.col("doc_id"), dl_bits)
+             + F.col("dl")).alias("dd"),
+        )
+        # ts is injective in (term_id, salt), so partitioning on it alone
+        # both co-locates each (term, salt) group and still SPLITS a hot
+        # term's salts across partitions
+        part_cols, sort_cols = ["ts"], ["ts", "dd"]
+        encode_fn = _encode_occ_map_fn(
+            block_size, presorted=True, carry_part_id=False,
+            packed_bits=(salt_bits, dl_bits),
+        )
+    else:
+        enriched = enriched.select("term_id", "salt", "doc_id", "dl")
+        part_cols = ["term_id", "salt"]
+        sort_cols = ["term_id", "salt", "doc_id"]
+        encode_fn = _encode_occ_map_fn(
+            block_size, presorted=True, carry_part_id=False
+        )
     obs = Observation("build_metrics")
     blocks = (
         # sort on the JVM side of the exchange: Tungsten's off-heap sort is
@@ -789,17 +895,13 @@ def _build_index_single_shot(
         # socket, so the Arrow worker gets run-length-reducible input and
         # never sorts (presorted=True) — the python lexsort it replaces was
         # the build's main memory-bandwidth hog.
-        # The occurrence row the exchange moves is the MINIMAL one:
-        # (term_id, salt, doc_id, dl). part_id = pmod(xxhash64(term_id,
-        # salt), n_parts) is recomputed below over the ~block_size×-smaller
-        # block relation — shipping it per occurrence cost ~17 % more
-        # exchange bytes for a high-entropy value the codec can't compress.
-        enriched.repartition(shuffle_n(enriched), "term_id", "salt")
-        .sortWithinPartitions("term_id", "salt", "doc_id")
-        .mapInPandas(
-            _encode_occ_map_fn(block_size, presorted=True, carry_part_id=False),
-            schema=POSTINGS_SCHEMA,
-        )
+        # part_id = pmod(xxhash64(term_id, salt), n_parts) is recomputed
+        # below over the ~block_size×-smaller block relation — shipping it
+        # per occurrence cost ~17 % more exchange bytes for a high-entropy
+        # value the codec can't compress.
+        enriched.repartition(shuffle_n(enriched), *part_cols)
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(encode_fn, schema=POSTINGS_SCHEMA)
         .withColumn(
             "part_id",
             F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_parts)).cast("int"),

@@ -93,11 +93,15 @@ def build_doc_partitioned(
     )
     obs_stats = Observation("dp_corpus_stats")
     dstats = dstats.observe(
-        obs_stats, F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        obs_stats, F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        F.max("dl").alias("max_dl"),
+        F.max("doc_id").alias("max_doc"), F.min("doc_id").alias("min_doc"),
     )
     write_table(dstats, index_dir, "doc_stats")
     st = obs_stats.get
     n_docs, avgdl = int(st["n"]), float(st["avgdl"])
+    max_dl = int(st["max_dl"] or 0)
+    max_doc, min_doc = int(st["max_doc"] or 0), int(st["min_doc"] or 0)
     bucket_width = max(1, math.ceil(n_docs / n_buckets))
 
     pins: list = []
@@ -117,8 +121,39 @@ def build_doc_partitioned(
         .withColumn(
             "salt", (F.col("doc_id") / F.lit(bucket_width)).cast("int")
         )
-        .select("term_id", "salt", "doc_id", "dl")
     )
+    # same PACKED two-int64 exchange row as build.py (see the narrated
+    # rationale there): ts = term_id << salt_bits | bucket, dd = doc_id <<
+    # dl_bits | dl. The repartition expression extracts the bucket from ts
+    # at shuffle-write time — routing is computed map-side, so only the
+    # two packed columns ride the corpus-sized exchange.
+    vocab_n = dct.count()  # cached by assign_dense_ids' action
+    salt_bits = max(1, int(n_buckets).bit_length())
+    dl_bits = max(1, max(max_dl, 1).bit_length())
+    packable = (
+        min_doc >= 0
+        and ((vocab_n - 1) << salt_bits) + (1 << salt_bits) - 1 < (1 << 63)
+        and (max_doc << dl_bits) + max_dl < (1 << 63)
+    )
+    if packable:
+        enriched = enriched.select(
+            (F.shiftleft("term_id", salt_bits)
+             + F.col("salt").cast("long")).alias("ts"),
+            (F.shiftleft(F.col("doc_id"), dl_bits) + F.col("dl")).alias("dd"),
+        )
+        part_expr = [F.col("ts").bitwiseAND(F.lit((1 << salt_bits) - 1))]
+        sort_cols = ["ts", "dd"]
+        encode_fn = _encode_occ_map_fn(
+            block_size, presorted=True, carry_part_id=False,
+            packed_bits=(salt_bits, dl_bits),
+        )
+    else:
+        enriched = enriched.select("term_id", "salt", "doc_id", "dl")
+        part_expr = [F.col("salt")]
+        sort_cols = ["term_id", "salt", "doc_id"]
+        encode_fn = _encode_occ_map_fn(
+            block_size, presorted=True, carry_part_id=False
+        )
     obs = Observation("dp_build_metrics")
     blocks = (
         # JVM-side Tungsten sort feeds the worker run-length-ready input —
@@ -126,12 +161,9 @@ def build_doc_partitioned(
         # IS the bucket (== salt), so it is re-derived over the block
         # relation after encoding instead of riding every occurrence row
         # through the exchange (same minimal-row rationale as build.py).
-        enriched.repartition(shuffle_n(enriched), "salt")
-        .sortWithinPartitions("term_id", "salt", "doc_id")
-        .mapInPandas(
-            _encode_occ_map_fn(block_size, presorted=True, carry_part_id=False),
-            schema=POSTINGS_SCHEMA,
-        )
+        enriched.repartition(shuffle_n(enriched), *part_expr)
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(encode_fn, schema=POSTINGS_SCHEMA)
         .withColumn("part_id", F.col("salt"))
         .observe(
             obs,
