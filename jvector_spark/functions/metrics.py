@@ -40,20 +40,30 @@ def map_at_k(
     results: DataFrame, truth: DataFrame, k: int, id_col: str = "doc_id"
 ) -> DataFrame:
     """(query_id, ap) — average precision over the top-k result prefix:
-    mean over relevant ranks i of precision@i."""
+    mean over relevant ranks i of precision@i.
+
+    WINDOW-FREE by design: with the relevant ranks of a query sorted
+    ascending, precision at the i-th relevant rank r_i is exactly
+    (i+1)/r_i, so the running-count window collapses to an array
+    expression over a ≤k-element ``collect_list`` — one groupBy, no
+    window shuffle. (It also dodges a Catalyst trap: when query_id is a
+    constant — the single-query bench harness tags results with lit(0) —
+    FoldablePropagation strips the constant partition key OUT of a
+    window spec and the plan degrades to an unpartitioned WindowExec.)"""
     r = results.filter(F.col("rank") <= k).select("query_id", "rank", id_col)
     t = truth.filter(F.col("rank") <= k).select("query_id", id_col)
     rel = r.join(t, ["query_id", id_col]).select("query_id", "rank")
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("query_id")
-        .orderBy("rank")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    prec = rel.withColumn("prec_at_i", F.count("*").over(w) / F.col("rank"))
     base = t.groupBy("query_id").agg(F.count("*").alias("n_true"))
-    ap = prec.groupBy("query_id").agg(F.sum("prec_at_i").alias("s"))
+    ap = rel.groupBy("query_id").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list("rank")),
+                lambda x, i: (i + F.lit(1)).cast("double") / x,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("s")
+    )
     return base.join(ap, "query_id", "left").select(
         "query_id",
         (
