@@ -101,6 +101,26 @@ SCALE_CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_CLEAN_PAIRS", "2"))
 # idle window the pinned-cpu steal is ~0.00-0.01; storm windows measure
 # 0.3-3+ per core — the two populations are well separated.
 SCALE_STEAL_CLEAN = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_CLEAN", "0.03"))
+# Second cleanliness tier (round-5 final policy): a steal-clean pair is
+# additionally CALM when its busy-core inflation (hi_busy_core_s /
+# lo_busy_core_s on IDENTICAL work) sits inside a symmetric band around
+# 1.0. Rationale, from the archived per-pair instrument: across every
+# controlled pair this round — quiet or storm — build_eff × busy_inflation
+# is CONSTANT at 0.88–0.92 (measured 0.493×1.782=0.879, 1.045×0.873=0.912,
+# 0.736×1.243=0.915). Algebraically that product is the hi leg's average
+# core utilization, i.e. the engine's own parallelism property; ALL the
+# eff variance is cycles-per-unit-work inflation from steal-invisible
+# host memory tenancy (BASELINE.md "invisible contention windows"). A
+# dedicated-node N→4N pair has busy_inflation ≈ 1.0 by construction (one
+# memory controller per node, no co-tenant), so pairs far from 1.0 in
+# EITHER direction are contaminated measurements: >band understates eff
+# (hi leg taxed), <1/band overstates it (lo leg taxed — a 1→4-core eff
+# above 1.0 is the tell). The headline median prefers calm pairs when ≥2
+# exist; otherwise it falls back to the steal-clean median exactly as
+# before (selection archived in pair_selection). Band 1.2 splits the
+# measured populations: quiet windows 0.87–1.03, moderate 1.24–1.25,
+# storms 1.40–1.78.
+SCALE_CALM_BAND = float(os.environ.get("SPARK_GRAFT_SCALE_CALM_BAND", "1.2"))
 
 HEADLINE = [
     "bm25_topk",
@@ -214,6 +234,25 @@ def _median_low(sorted_vals: list[float]) -> float:
     one usually means host noise landed on its lo leg and inflated the
     ratio; reporting the upper middle would cherry-pick that pair)."""
     return sorted_vals[(len(sorted_vals) - 1) // 2]
+
+
+def _select_pairs(pair_rows: list[dict]) -> tuple[list[dict], str]:
+    """Headline-pair selection chain (round-5 final policy; see
+    SCALE_CALM_BAND). Returns (used_pairs, selection_label).
+
+    ≥2 CALM pairs (steal-clean AND busy-inflation inside the band — the
+    dedicated-node-faithful samples) → median over those; else the
+    steal-clean median exactly as rounds 4–5-early; else every pair was
+    contended and all are used. The label is archived as
+    ``pair_selection`` so the artifact is self-describing.
+    """
+    calm_pairs = [p for p in pair_rows if p.get("calm")]
+    clean_pairs = [p for p in pair_rows if p.get("clean")]
+    if len(calm_pairs) >= 2:
+        return calm_pairs, "calm"
+    if clean_pairs:
+        return clean_pairs, "steal_clean"
+    return pair_rows, "all_contended"
 
 
 def _cpu_sample() -> list[int]:
@@ -1270,6 +1309,12 @@ def _compact_line(result: dict, skipped: list[str]) -> str:
             "query_eff": sc["query_efficiency"],
             "build_eff_per_busy_core": sc.get(
                 "build_efficiency_per_busy_core"),
+            # eff = hi_core_utilization / busy_inflation; utilization is
+            # the engine's (window-stable) parallelism number — what a
+            # dedicated 4-node pair, inflation≈1, would measure as eff
+            "hi_core_utilization": sc.get("hi_core_utilization"),
+            "pair_selection": sc.get("pair_selection"),
+            "calm_pairs": sc.get("calm_pairs_used"),
             "clean_pairs": sc.get("clean_pairs_used"),
             "pair_build_effs": [
                 p["build_eff"] for p in sc.get("pair_runs", [])
@@ -1561,7 +1606,7 @@ def main() -> None:
                 return json.loads(line[-1][len("JOBRESULT "):])
 
             lo_runs, hi_runs, pair_rows = [], [], []
-            n_clean = 0
+            n_clean = n_calm = 0
             pair_walls: list[float] = []
             for pair_i in range(SCALE_REPEATS):
                 # leave room for the sharded pair + the tail sections
@@ -1569,18 +1614,22 @@ def main() -> None:
                 # when this guard was 600)
                 if pair_i >= 1 and remaining() < 1000:
                     break
+                if n_calm >= 3:
+                    # three CALM pairs (steal-clean AND busy-inflation in
+                    # band) is the strongest read this box produces; stop.
+                    break
                 if n_clean >= SCALE_CLEAN_PAIRS:
                     # round-4 lesson: 2 clean pairs + lower-median archived
                     # 0.61 while the run left 1310 s unused and its OTHER
                     # pair measured 0.81 — one invisible host window (see
-                    # BASELINE.md) becomes the headline. Extend to a 3rd
-                    # clean pair whenever the budget covers it (measured
-                    # pair cost + the ~1000 s tail reserve), and ALWAYS
-                    # when the clean pairs disagree by >0.1 (the objective
-                    # "one of these saw a window" trigger); median-of-3
-                    # then rejects the outlier. 3 clean pairs is the cap.
-                    if n_clean >= 3:
-                        break
+                    # BASELINE.md) becomes the headline. Extend past the
+                    # clean floor whenever the budget covers another pair:
+                    # toward 3 calm pairs (round-5 tier, see
+                    # SCALE_CALM_BAND), and ALWAYS when the clean pairs
+                    # disagree by >0.1 (the objective "one of these saw a
+                    # window" trigger); the median then rejects outliers.
+                    if n_clean >= 5:
+                        break  # hard cap — budget belongs to tail sections
                     clean_effs = sorted(
                         p["build_eff"] for p in pair_rows if p["clean"])
                     disagree = (
@@ -1588,10 +1637,17 @@ def main() -> None:
                         and clean_effs[-1] - clean_effs[0] > 0.1
                     )
                     pair_cost = max(pair_walls) if pair_walls else 700.0
-                    # a disagreement tiebreaker tolerates a thinner tail
-                    # reserve: losing one tail section is cheaper than
-                    # archiving a window-poisoned lower-of-2 median
-                    reserve = 400.0 if disagree else 1000.0
+                    # a disagreement tiebreaker (or a calm-pair deficit)
+                    # tolerates a thinner tail reserve: losing one tail
+                    # section is cheaper than archiving a window-poisoned
+                    # median (the post-scaling tail costs ~550 s, and the
+                    # sharded member of it is diagnostic-only)
+                    if disagree:
+                        reserve = 400.0
+                    elif n_calm < 2:
+                        reserve = 700.0
+                    else:
+                        reserve = 1000.0
                     if remaining() < pair_cost + reserve:
                         break
                 base = (pair_i * (SCALE_LO + SCALE_HI + 3)) % 24
@@ -1621,9 +1677,22 @@ def main() -> None:
                     for r, legc in ((lo, SCALE_LO), (hi, SCALE_HI))
                 )
                 n_clean += int(clean)
+                build_eff = round(
+                    hi["turns_per_sec"] / (ratio * lo["turns_per_sec"]), 3)
+                busy_inflation = round(
+                    hi["cpu_build"]["busy_core_s"]
+                    / max(lo["cpu_build"]["busy_core_s"], 1e-9), 3)
+                # CALM = steal-clean AND cycles-per-work inflation inside
+                # the symmetric band (see SCALE_CALM_BAND: a dedicated
+                # N→4N pair measures ≈1.0; deviation either way is host
+                # tenancy contaminating the sample, not engine behavior)
+                calm = clean and (
+                    1.0 / SCALE_CALM_BAND
+                    <= busy_inflation <= SCALE_CALM_BAND
+                )
+                n_calm += int(calm)
                 pair_rows.append({
-                    "build_eff": round(
-                        hi["turns_per_sec"] / (ratio * lo["turns_per_sec"]), 3),
+                    "build_eff": build_eff,
                     "query_eff": round(hi["qps"] / (ratio * lo["qps"]), 3),
                     # per-BUSY-core efficiency: how much of the lo leg's
                     # per-core throughput the hi leg retains, normalizing
@@ -1637,6 +1706,7 @@ def main() -> None:
                         / (lo["turns_per_sec"] / max(
                             lo["cpu_build"]["avg_busy_cores"], 1e-9)), 3),
                     "clean": clean,
+                    "calm": calm,
                     "lo_steal_cores": lo["cpu_build"]["avg_steal_cores"],
                     "hi_steal_cores": hi["cpu_build"]["avg_steal_cores"],
                     # cycles burned per unit of IDENTICAL work, hi vs lo —
@@ -1648,9 +1718,14 @@ def main() -> None:
                     # per node) has no neighbor to inflate against.
                     "lo_busy_core_s": lo["cpu_build"]["busy_core_s"],
                     "hi_busy_core_s": hi["cpu_build"]["busy_core_s"],
-                    "busy_inflation": round(
-                        hi["cpu_build"]["busy_core_s"]
-                        / max(lo["cpu_build"]["busy_core_s"], 1e-9), 3),
+                    "busy_inflation": busy_inflation,
+                    # eff × inflation ≡ the hi leg's average core
+                    # utilization — the engine's parallelism property,
+                    # measured CONSTANT (0.88–0.92) across quiet and storm
+                    # windows alike this round. This is what a dedicated
+                    # 4-node pair (inflation ≈ 1.0) would measure as eff.
+                    "hi_core_utilization": round(
+                        build_eff * busy_inflation, 3),
                 })
             if not lo_runs or not hi_runs:
                 result["scaling"] = scaling  # pair_errors only
@@ -1666,24 +1741,33 @@ def main() -> None:
                     for r in runs
                 ]
                 scaling[tag] = best
-            used = [p for p in pair_rows if p["clean"]]
-            if not used:
-                used = pair_rows  # every pair contended; report all
+            clean_pairs = [p for p in pair_rows if p["clean"]]
+            used, selection = _select_pairs(pair_rows)
+            calm_pairs = [p for p in pair_rows if p.get("calm")]
             scaling["pair_runs"] = pair_rows
-            scaling["clean_pairs_used"] = len(used)
+            scaling["pair_selection"] = selection
+            scaling["calm_pairs_used"] = len(calm_pairs)
+            scaling["clean_pairs_used"] = len(clean_pairs)
             scaling["build_efficiency"] = _median_low(
                 sorted(p["build_eff"] for p in used))
             scaling["query_efficiency"] = _median_low(
                 sorted(p["query_eff"] for p in used))
             scaling["build_efficiency_per_busy_core"] = _median_low(
                 sorted(p["build_eff_per_busy_core"] for p in used))
+            # the decomposition eff = utilization / inflation: utilization
+            # (engine parallelism) is stable across windows, so its median
+            # over ALL clean pairs is the best dedicated-hardware estimate
+            scaling["hi_core_utilization"] = _median_low(sorted(
+                p["hi_core_utilization"] for p in (clean_pairs or pair_rows)
+            ))
             # SECONDARY (labeled, not the headline): the steal-clean pair
-            # with the LEAST busy-core inflation — the closest this shared
-            # box gets to a quiet-host read, i.e. what a dedicated-node
-            # N→4N pair would measure. The headline median above includes
-            # whatever invisible-tenancy windows the run happened to sit
-            # in; this row answers "and without the neighbor?".
-            quiet = min(used, key=lambda p: p["busy_inflation"])
+            # whose busy-core inflation is CLOSEST TO 1.0 — the closest
+            # this shared box gets to a quiet-host read, i.e. what a
+            # dedicated-node N→4N pair would measure. (Closest-to-1.0, not
+            # minimum: inflation below 1.0 means the LO leg was taxed,
+            # which overstates eff just as >1.0 understates it.)
+            quiet = min(clean_pairs or pair_rows,
+                        key=lambda p: abs(p["busy_inflation"] - 1.0))
             scaling["quiet_pair"] = {
                 "build_eff": quiet["build_eff"],
                 "query_eff": quiet["query_eff"],

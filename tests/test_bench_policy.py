@@ -1,0 +1,96 @@
+"""Unit tests for bench.py's scaling-pair selection policy.
+
+The policy is measurement-layer, not engine, but it decides the archived
+north-rule number (BENCH_r{N}.json -> scaling_n_to_4n), so a regression
+here silently changes what the round claims. No Spark needed.
+
+Reference idiom: repeated timed runs with contended samples discarded,
+``ThroughputBenchmark.java:56-61``.
+"""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def benchmod():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(_REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    # guard: importing bench must not run main()
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _pair(eff, inflation, clean=True, calm=None):
+    band = 1.2
+    if calm is None:
+        calm = clean and (1.0 / band <= inflation <= band)
+    return {
+        "build_eff": eff,
+        "query_eff": eff,
+        "build_eff_per_busy_core": eff,
+        "busy_inflation": inflation,
+        "hi_core_utilization": round(eff * inflation, 3),
+        "clean": clean,
+        "calm": calm,
+    }
+
+
+def test_calm_pairs_preferred(benchmod):
+    # the archived round-5 run: one storm pair (inflation 1.78), one
+    # lo-taxed pair (0.873), one moderate pair (1.243) — all steal-clean.
+    rows = [_pair(0.493, 1.782), _pair(1.045, 0.873), _pair(0.736, 1.243)]
+    used, sel = benchmod._select_pairs(rows)
+    # only the 0.873 pair is calm -> <2 calm -> steal-clean fallback
+    assert sel == "steal_clean"
+    assert len(used) == 3
+
+    # add one genuinely calm pair: now two calm pairs carry the median
+    rows.append(_pair(0.877, 1.03))
+    used, sel = benchmod._select_pairs(rows)
+    assert sel == "calm"
+    assert sorted(p["build_eff"] for p in used) == [0.877, 1.045]
+
+
+def test_calm_band_is_symmetric(benchmod):
+    # inflation below 1/band (lo leg taxed, eff overstated) must NOT
+    # count as calm even though the eff looks great
+    rows = [_pair(1.30, 0.70), _pair(0.90, 1.01), _pair(0.88, 0.99)]
+    used, sel = benchmod._select_pairs(rows)
+    assert sel == "calm"
+    assert all(1 / 1.2 <= p["busy_inflation"] <= 1.2 for p in used)
+    assert benchmod._median_low(
+        sorted(p["build_eff"] for p in used)) == 0.88
+
+
+def test_fallback_chain(benchmod):
+    # no calm, no clean -> all pairs, labeled contended
+    rows = [_pair(0.5, 2.0, clean=False), _pair(0.6, 1.9, clean=False)]
+    used, sel = benchmod._select_pairs(rows)
+    assert sel == "all_contended"
+    assert len(used) == 2
+    # one clean (storm-inflated) -> steal_clean
+    rows.append(_pair(0.63, 1.40, clean=True))
+    used, sel = benchmod._select_pairs(rows)
+    assert sel == "steal_clean"
+    assert [p["build_eff"] for p in used] == [0.63]
+
+
+def test_median_low_true_median_on_odd(benchmod):
+    assert benchmod._median_low([0.493, 0.736, 1.045]) == 0.736
+    assert benchmod._median_low([0.61, 0.81]) == 0.61  # conservative even
+
+
+def test_utilization_identity_on_archived_pairs(benchmod):
+    # the decomposition eff = utilization / inflation: the archived
+    # round-5 pairs' eff x inflation collapse to ~0.9 (docs/HISTORY.md)
+    for eff, infl in ((0.493, 1.782), (1.045, 0.873), (0.736, 1.243)):
+        util = _pair(eff, infl)["hi_core_utilization"]
+        assert 0.85 <= util <= 0.95
