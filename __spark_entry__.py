@@ -195,6 +195,23 @@ def _bq_index_for(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _nvq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted NVQ structure (per-vector nonuniform 8-bit codes +
+    inline params) over the FULL embeddings table; built once per process
+    per sf_dir — NVQ has no trained corpus state at all
+    (NVQuantization.java:524-573 fits each vector's own warp)."""
+    key = (sf_dir, "nvq")
+    got = _MUTIDX_CACHE.get(key)
+    if got and os.path.exists(os.path.join(got, "manifest")):
+        return got
+    from jvector_spark.index.vectors import nvq_build
+
+    d = tempfile.mkdtemp(prefix="jvidx_nvq_")
+    nvq_build(_read(spark, sf_dir, "embeddings"), d)
+    _MUTIDX_CACHE[key] = d
+    return d
+
+
 def _vec0_deleted(spark: SparkSession) -> DataFrame:
     """vec_id 0 is the query vector of the single-query ANN entries — the
     persisted structures cover the FULL table, so the entries mask it via
@@ -257,6 +274,11 @@ _AUDIT_ONLY = frozenset(
         # driver-checked through them; cosine_topk_batch itself remains
         # pytest- and plan-audit-covered (r5: slot freed for the BQ batch)
         "ann_topk_batch",
+        # relational warm-up demoted in r5 (same move as scan_filter etc.
+        # in r4) to admit the NVQ tier — a REAL reference-parity operator
+        # (C6, NVQuantization.java); window semantics stay driver-checked
+        # through events_window_agg and every rank-producing query row
+        "window_rank",
     }
 )
 
@@ -684,6 +706,24 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
 
+    def q_ann_topk_nvq(spark, sf):
+        # per-vector NonUniform Vector Quantization tier — the reference's
+        # compressed RERANK tier (NVQuantization.java:487-638: per-vector
+        # min/max + learned logistic warp, NVQScorer.java scores off the
+        # codes): nonuniform 1 B/dim first pass over the persisted codes +
+        # exact rerank — same exact-scan oracle as ann_topk
+        from jvector_spark.index.vectors import nvq_load
+        from jvector_spark.operators.nvq import ann_topk_nvq
+
+        emb = _read(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        bits, codes = nvq_load(spark, _nvq_index_for(spark, sf))
+        t = ann_topk_nvq(
+            emb.filter(F.col("vec_id") != 0), list(qv), k=10,
+            codes=codes, bits=bits, deleted=_vec0_deleted(spark),
+        )
+        return t.select("rank", "vec_id", _u6(F.col("cos")).alias("cos_u6"))
+
     def q_ann_topk_batch(spark, sf):
         # batched ANN: top-10 for FIVE query vectors in one corpus scan
         # (X @ Q.T GEMM per Arrow batch + bounded rank window) — the
@@ -859,6 +899,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_sq8": q_ann_topk_sq8,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_bq": q_ann_topk_bq,
+        "ann_topk_nvq": q_ann_topk_nvq,
         "ann_topk_batch": q_ann_topk_batch,
         "ann_topk_sq8_batch": q_ann_topk_sq8_batch,
         "ann_topk_bq_batch": q_ann_topk_bq_batch,
@@ -1269,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         # BQ (1 bit/dim Hamming first pass + exact rerank) must also equal
         # the exact scan — rank-identical at the pytest-sized rerank margin
         "ann_topk_bq": _ANN_TOPK_SQL,
+        "ann_topk_nvq": _ANN_TOPK_SQL,
         "ann_topk_batch": _ANN_TOPK_BATCH_SQL,
         # batch SQ8 two-phase must equal the exact batch scan — same oracle
         "ann_topk_sq8_batch": _ANN_TOPK_BATCH_SQL,

@@ -1,6 +1,6 @@
-"""Persisted compressed-vector index structures: PQ / SQ8 / BQ tiers with
-an on-disk layout, load path, incremental extend, tombstone delete, drift
-metric, and refine (retrain + re-encode).
+"""Persisted compressed-vector index structures: PQ / SQ8 / BQ / NVQ
+tiers with an on-disk layout, load path, incremental extend, tombstone
+delete, drift metric, and refine (retrain + re-encode).
 
 Reference analogs: the reference persists and reuses trained PQ across
 runs instead of retraining per query (Grid.java:681-719 ``pq_cache``,
@@ -18,7 +18,9 @@ conventions as the text index's format v2 and the IVF structure):
 - ``codebooks/``  PQ: (subspace, cluster, centroid array<double>)
 - ``params/``     SQ8: (i, mn, scale) per dimension
 - ``codes/``      (vec_id, codes binary) — m B (PQ), dim B (SQ8),
-                  dim/8 B (BQ) per vector
+                  dim/8 B (BQ), dim·bits/8 B + 3 doubles inline (NVQ,
+                  per-vector params — NVQuantization.java:583-638)
+                  per vector
 - ``tombstones/`` optional (vec_id) appended by ``*_delete``
 
 Queries load the k·dsub-sized codebooks driver-side (broadcast-sized, like
@@ -483,6 +485,134 @@ def ann_topk_bq_indexed(
         deleted=vector_tombstones(spark, index_dir),
         id_col=id_col, vec_col=vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# NVQ structure (per-vector nonuniform 8/4-bit — the compressed RERANK tier)
+# ---------------------------------------------------------------------------
+
+def nvq_build(
+    embeddings: DataFrame,
+    index_dir: str,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Persist the NVQ structure: per-vector (min, range, warp-rate)
+    params inline with the packed codes (NVQuantization.java:583-638's
+    serialized QuantizedSubVector layout as parquet columns). There is NO
+    trained corpus state — the manifest records only (dim, bits) — so
+    extend ≡ rebuild exactly and nothing can drift. Returns the number of
+    vectors encoded; ``m`` in the manifest carries ``bits``."""
+    from ..operators.nvq import nvq_encode
+
+    spark = embeddings.sparkSession
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0]) if first else 0
+    codes = nvq_encode(embeddings, bits, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    _write_manifest(spark, index_dir, "nvq", dim=dim, m=bits)
+    return int(read_codes(spark, index_dir).count())
+
+
+def nvq_load(spark: SparkSession, index_dir: str) -> tuple[int, DataFrame]:
+    """(bits, codes) from the persisted structure — the serve path."""
+    man = read_manifest(spark, index_dir)
+    return int(man["m"]), read_codes(spark, index_dir)
+
+
+def nvq_extend(
+    new_embeddings: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append NVQ codes. Every parameter is per-vector, so — uniquely
+    among the compressed tiers — extend is EXACTLY a fresh build of the
+    union (no stale codebooks like PQ, no clipping like SQ8); there is no
+    drift metric because there is nothing shared to drift."""
+    from ..operators.nvq import nvq_encode
+
+    spark = new_embeddings.sparkSession
+    bits = int(read_manifest(spark, index_dir)["m"])
+    delta = nvq_encode(new_embeddings, bits, id_col, vec_col)
+    n = delta.count()
+    delta.write.mode("append").parquet(os.path.join(index_dir, "codes"))
+    return int(n)
+
+
+def ann_topk_nvq_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    from ..operators.nvq import ann_topk_nvq
+
+    bits, codes = nvq_load(spark, index_dir)
+    return ann_topk_nvq(
+        embeddings, query_vec, k=k, rerank=rerank, codes=codes, bits=bits,
+        deleted=vector_tombstones(spark, index_dir),
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ann_topk_nvq_batch_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int | None = None,
+    **kw,
+) -> DataFrame:
+    from ..operators.nvq import ann_topk_nvq_batch
+
+    bits, codes = nvq_load(spark, index_dir)
+    return ann_topk_nvq_batch(
+        embeddings, queries, k=k, rerank=rerank, codes=codes, bits=bits,
+        deleted=vector_tombstones(spark, index_dir), **kw,
+    )
+
+
+def ann_topk_pq_nvq_indexed(
+    spark: SparkSession,
+    pq_dir: str,
+    nvq_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The reference's COMPRESSED-ONLY serving pipeline: PQ ADC first pass
+    selects candidates, NVQ codes rerank them — raw float vectors are
+    never read anywhere on the query path (the Grid.java search
+    configuration that pairs a PQ searcher with an NVQ reranker;
+    NVQScorer.java scores candidates off the codes). Scores are
+    quantized-precision cosines: recall vs the exact scan is a pytest
+    floor, not a hash contract — the operator exists for the scan-byte
+    budget (m B + ~dim B per vector vs 4·dim B raw)."""
+    from ..operators.nvq import nvq_rerank
+    from ..operators.pq import PQ_RERANK_FACTOR, PQ_RERANK_FLOOR, pq_approx_scores
+
+    if rerank is None:
+        rerank = max(PQ_RERANK_FLOOR, PQ_RERANK_FACTOR * k)
+    books, pq_codes = pq_load(spark, pq_dir)
+    bits, nvq_codes = nvq_load(spark, nvq_dir)
+    approx = pq_approx_scores(pq_codes, books, query_vec, id_col)
+    dead = vector_tombstones(spark, pq_dir)
+    if dead is not None:
+        approx = approx.join(F.broadcast(dead.select(id_col)), id_col, "left_anti")
+    cand_ids = (
+        approx.orderBy(F.desc("approx"), F.asc(id_col))
+        .limit(int(rerank))
+        .select(id_col)
+    )
+    return nvq_rerank(nvq_codes, cand_ids, query_vec, k=k, bits=bits, id_col=id_col)
 
 
 def ann_topk_sq8_batch_indexed(

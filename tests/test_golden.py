@@ -66,7 +66,7 @@ def vec_golden_case():
         return json.load(f)
 
 
-@pytest.mark.parametrize("tier", ["pq", "sq8", "bq"])
+@pytest.mark.parametrize("tier", ["pq", "sq8", "bq", "nvq"])
 def test_golden_vector_tier_loads_and_answers(spark, vec_golden_case, tier):
     """Committed PQ/SQ8/BQ structures must keep loading and answering
     rank-identically (the version0.pq idiom for the vector-tier formats,
@@ -75,6 +75,7 @@ def test_golden_vector_tier_loads_and_answers(spark, vec_golden_case, tier):
     from jvector_spark.fixtures import make_embeddings, make_embeddings_pdf
     from jvector_spark.index.vectors import (
         ann_topk_bq_indexed,
+        ann_topk_nvq_indexed,
         ann_topk_pq_indexed,
         ann_topk_sq8_indexed,
         read_manifest,
@@ -84,6 +85,7 @@ def test_golden_vector_tier_loads_and_answers(spark, vec_golden_case, tier):
         "pq": ann_topk_pq_indexed,
         "sq8": ann_topk_sq8_indexed,
         "bq": ann_topk_bq_indexed,
+        "nvq": ann_topk_nvq_indexed,
     }
     idx = os.path.join(GOLDEN, f"{tier}_index")
     man = read_manifest(spark, idx)

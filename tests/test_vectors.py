@@ -293,12 +293,12 @@ def test_bq_build_load_extend_indexed(spark, embeddings, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("tier", ["pq", "sq8", "bq", "ivf"])
+@pytest.mark.parametrize("tier", ["pq", "sq8", "bq", "nvq", "ivf"])
 def test_vector_delete_survivors_equal_exact_live_scan(spark, embeddings, tmp_path, tier):
     """After a tombstone delete, every persisted ANN tier must answer
     exactly the exact scan over LIVE rows — tombstoned ids neither surface
-    nor consume rerank budget (M1 parity across sq8/pq/bq/ivf; IVF runs at
-    full probe so its candidate set is the whole live corpus)."""
+    nor consume rerank budget (M1 parity across sq8/pq/bq/nvq/ivf; IVF
+    runs at full probe so its candidate set is the whole live corpus)."""
     from jvector_spark.index import vectors as V
     from jvector_spark.operators import similarity as S
 
@@ -309,11 +309,15 @@ def test_vector_delete_survivors_equal_exact_live_scan(spark, embeddings, tmp_pa
         )
         delete = lambda sp, d, ids: S.ivf_delete(sp, d, ids)
     else:
-        build = {"pq": V.pq_build, "sq8": V.sq8_build, "bq": V.bq_build}[tier]
+        build = {
+            "pq": V.pq_build, "sq8": V.sq8_build,
+            "bq": V.bq_build, "nvq": V.nvq_build,
+        }[tier]
         query = {
             "pq": V.ann_topk_pq_indexed,
             "sq8": V.ann_topk_sq8_indexed,
             "bq": V.ann_topk_bq_indexed,
+            "nvq": V.ann_topk_nvq_indexed,
         }[tier]
         delete = V.vector_delete
 

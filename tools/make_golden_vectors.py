@@ -7,7 +7,11 @@ A format-breaking change to jvector_spark/index/vectors.py (manifest
 layout, codes schema, codebook/params encoding) must fail
 tests/test_golden.py WITHOUT regenerating these artifacts.
 
-Run ONCE per deliberate format-version bump: python tools/make_golden_vectors.py
+Run ONCE per deliberate format-version bump:
+``python tools/make_golden_vectors.py [tier ...]`` — with tier args, only
+the named tiers are rebuilt and merged into the existing expected JSON
+(used when a NEW tier joins the golden set without touching the
+committed artifacts of the others).
 """
 
 from __future__ import annotations
@@ -39,9 +43,11 @@ def main() -> None:
     from jvector_spark.fixtures import make_embeddings, make_embeddings_pdf
     from jvector_spark.index.vectors import (
         ann_topk_bq_indexed,
+        ann_topk_nvq_indexed,
         ann_topk_pq_indexed,
         ann_topk_sq8_indexed,
         bq_build,
+        nvq_build,
         pq_build,
         sq8_build,
     )
@@ -55,22 +61,36 @@ def main() -> None:
         "pq": os.path.join(GOLDEN, "pq_index"),
         "sq8": os.path.join(GOLDEN, "sq8_index"),
         "bq": os.path.join(GOLDEN, "bq_index"),
+        "nvq": os.path.join(GOLDEN, "nvq_index"),
     }
+    only = set(sys.argv[1:]) or set(dirs)
+    dirs = {t: d for t, d in dirs.items() if t in only}
     for d in dirs.values():
         shutil.rmtree(d, ignore_errors=True)
 
     # small m/k keeps the committed codebooks parquet tiny (dim=32 → m=4
     # subspaces of 8 dims, 16 centroids each)
-    pq_build(emb, dirs["pq"], m=4, n_clusters=16, seed=99)
-    sq8_build(emb, dirs["sq8"])
-    bq_build(emb, dirs["bq"])
+    if "pq" in dirs:
+        pq_build(emb, dirs["pq"], m=4, n_clusters=16, seed=99)
+    if "sq8" in dirs:
+        sq8_build(emb, dirs["sq8"])
+    if "bq" in dirs:
+        bq_build(emb, dirs["bq"])
+    if "nvq" in dirs:
+        nvq_build(emb, dirs["nvq"])
 
     runners = {
         "pq": ann_topk_pq_indexed,
         "sq8": ann_topk_sq8_indexed,
         "bq": ann_topk_bq_indexed,
+        "nvq": ann_topk_nvq_indexed,
     }
+    runners = {t: f for t, f in runners.items() if t in dirs}
     expected: dict = {"query_vec_ids": QUERY_VEC_IDS, "k": K, "tiers": {}}
+    exp_path = os.path.join(GOLDEN, "vec_expected_topk.json")
+    if set(sys.argv[1:]) and os.path.exists(exp_path):
+        with open(exp_path) as f:
+            expected = json.load(f)  # merge new tiers into the committed set
     for tier, fn in runners.items():
         per_query = []
         for vid in QUERY_VEC_IDS:
