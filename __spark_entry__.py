@@ -274,6 +274,9 @@ _AUDIT_ONLY = frozenset(
         # driver-checked through them; cosine_topk_batch itself remains
         # pytest- and plan-audit-covered (r5: slot freed for the BQ batch)
         "ann_topk_batch",
+        # NVQ batch twin — pytest batch ≡ per-query + plan audit; the
+        # single-query ann_topk_nvq row carries the tier's hash contract
+        "ann_topk_nvq_batch",
         # relational warm-up demoted in r5 (same move as scan_filter etc.
         # in r4) to admit the NVQ tier — a REAL reference-parity operator
         # (C6, NVQuantization.java); window semantics stay driver-checked
@@ -782,6 +785,24 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "rank", "vec_id", _u6(F.col("cos")).alias("cos_u6")
         )
 
+    def q_ann_topk_nvq_batch(spark, sf):
+        # audit-only twin (contract slots are full at 50): ONE NVQ codes
+        # scan serving all five queries + exact rerank — pytest-enforced
+        # ≡ per-query, plan-audited here; shares the exact-batch oracle
+        # shape with the sq8/bq batch rows
+        from jvector_spark.index.vectors import nvq_load
+        from jvector_spark.operators.nvq import ann_topk_nvq_batch
+
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        bits, codes = nvq_load(spark, _nvq_index_for(spark, sf))
+        t = ann_topk_nvq_batch(emb, qs, k=10, codes=codes, bits=bits)
+        return t.select(
+            "query_id", "rank", "vec_id", _u6(F.col("cos")).alias("cos_u6")
+        )
+
     def q_scan_filter(spark, sf):
         li = _read(spark, sf, "lineitem")
         return li.filter(
@@ -903,6 +924,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_batch": q_ann_topk_batch,
         "ann_topk_sq8_batch": q_ann_topk_sq8_batch,
         "ann_topk_bq_batch": q_ann_topk_bq_batch,
+        "ann_topk_nvq_batch": q_ann_topk_nvq_batch,
         "scan_filter": q_scan_filter,
         "group_agg": q_group_agg,
         "hash_join": q_hash_join,

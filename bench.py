@@ -148,6 +148,7 @@ HEADLINE = [
     "ann_topk_sq8",
     "ann_topk_pq",
     "ann_topk_bq",
+    "ann_topk_nvq",
     "ann_topk_batch",
     "ann_topk_sq8_batch",
     "embedding_near_dups_lsh",
@@ -376,7 +377,7 @@ def accuracy_and_pruning(spark) -> dict:
     recall, maps = {}, {}
     for tier in (
         "ann_topk_lsh", "ann_topk_ivf", "ann_topk_sq8", "ann_topk_pq",
-        "ann_topk_bq",
+        "ann_topk_bq", "ann_topk_nvq",
     ):
         got_df = _ranked(qs[tier](spark, SF_DIR))
         recall[tier] = round(

@@ -30,7 +30,7 @@ CHEAP_KEYS = [
     "media_meta", "media_features", "frame_sample", "embedding_near_dups",
     "embedding_near_dups_lsh", "ann_topk", "ann_topk_lsh", "ann_topk_sq8",
     "ann_topk_pq", "ann_topk_batch", "ann_topk_sq8_batch",
-    "ann_topk_bq", "ann_topk_bq_batch", "ann_topk_nvq",
+    "ann_topk_bq", "ann_topk_bq_batch", "ann_topk_nvq", "ann_topk_nvq_batch",
     "scan_filter", "group_agg", "hash_join", "window_rank", "sort_limit",
     "events_window_agg",
 ]
