@@ -535,6 +535,38 @@ def pq_compression(spark) -> dict:
     }
 
 
+def nvq_compression(spark) -> dict:
+    """Measured NVQ tier bytes: dim·bits/8 codes + 3 float64 params per
+    vector (NVQuantization.java:583-638's per-subvector layout). The
+    24 B/vector param overhead is visible at the fixture's dim 64
+    (2.9× at 8 bits vs SQ8's 4.0×) and amortizes at embedding-model
+    dims (dim 768 → 3.9×); 4-bit exceeds SQ8 at any dim. Reported for
+    both bit widths so the trade is archived, not asserted."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.nvq import nvq_encode
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    out: dict = {}
+    for bits in (8, 4):
+        row = (
+            nvq_encode(emb, bits=bits)
+            .agg(F.sum(F.length("codes")).alias("code_bytes"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        dim = len(emb.select("embedding").first()[0])
+        stored = int(row["code_bytes"]) + int(row["n"]) * 3 * 8  # mn/dl/alpha
+        raw = int(row["n"]) * dim * 4
+        out[f"bits{bits}"] = {
+            "vectors": int(row["n"]),
+            "dim": dim,
+            "stored_bytes": stored,
+            "raw_float32_bytes": raw,
+            "compression_ratio": round(raw / max(stored, 1), 2),
+        }
+    return out
+
+
 def recall_qps_grid(spark) -> dict:
     """Recall/QPS trade-off grid — the reference regression-benches a grid
     of topK × overquery × pruning and tracks recall-vs-QPS curves
@@ -1487,7 +1519,8 @@ def main() -> None:
         accuracy=accuracy_and_pruning(spark)))
     section("compression", 120, lambda: result.update(
         sq8_compression=sq8_compression(spark),
-        pq_compression=pq_compression(spark)))
+        pq_compression=pq_compression(spark),
+        nvq_compression=nvq_compression(spark)))
     section("bandwidth_probe", 90, lambda: result.update(
         bandwidth_probe=bandwidth_probe()))
 
