@@ -97,10 +97,18 @@ SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "6"))
 # archives a conservative lower-of-2.
 SCALE_CLEAN_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_CLEAN_PAIRS", "2"))
 # max average steal on the leg's pinned cpus, as a fraction of the leg's
-# quota cores (0.03 → a 4-core leg tolerates 0.12 avg steal cores). On an
-# idle window the pinned-cpu steal is ~0.00-0.01; storm windows measure
-# 0.3-3+ per core — the two populations are well separated.
-SCALE_STEAL_CLEAN = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_CLEAN", "0.03"))
+# quota cores (0.10 → a 4-core leg tolerates 0.40 avg steal cores). This
+# is a PRE-FILTER for overt storms only; the calm band below is the real
+# instrument. Round-5 rehearsal lesson for the widening from 0.03: the
+# tight gate rejected the run's quietest pair (busy_inflation 1.076,
+# build_eff 0.852) over 0.05/0.13 steal-cores — noise-level visible
+# steal — while admitting a zero-steal pair sitting in an INVISIBLE
+# 1.318-inflation window, which became a lone 0.661 headline. Visible
+# steal ≤0.10/core distorts a quota'd leg ≤10% and lands in the middle
+# of a ≥3-pair median; the invisible windows it cannot see are exactly
+# what the busy-inflation band catches. Storm windows still measure
+# 0.3-3+ steal per core and stay excluded.
+SCALE_STEAL_CLEAN = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_CLEAN", "0.10"))
 # Second cleanliness tier (round-5 final policy): a steal-clean pair is
 # additionally CALM when its busy-core inflation (hi_busy_core_s /
 # lo_busy_core_s on IDENTICAL work) sits inside a symmetric band around
