@@ -62,6 +62,40 @@ POSTINGS_SCHEMA = (
 _ARROW_BATCH_LOCK = threading.Lock()
 
 
+def _bg_job(fn) -> "tuple[threading.Thread, list]":
+    """Submit an independent Spark job from a background thread.
+
+    Serial driver-side job submission is an Amdahl tax the 4×-parallelism
+    leg pays and the 1× leg does not: while one small write's tasks drain,
+    the other quota'd cores idle (measured hi-leg core utilization
+    0.88–0.92 with everything serial). A real cluster driver submits
+    independent jobs concurrently and lets the scheduler fill idle slots —
+    same outputs, byte-for-byte, since the overlapped jobs share no
+    dependency. ``InheritableThread`` propagates job-group/local properties
+    and cooperates with py4j pinned-thread mode. Errors re-raise on join
+    via the returned holder.
+    """
+    from pyspark import InheritableThread
+
+    holder: list = []
+
+    def run() -> None:
+        try:
+            fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised on join
+            holder.append(e)
+
+    t = InheritableThread(target=run, daemon=True)
+    t.start()
+    return t, holder
+
+
+def _bg_join(t: "threading.Thread", holder: list) -> None:
+    t.join()
+    if holder:
+        raise holder[0]
+
+
 def _varint_nbytes(v: np.ndarray) -> np.ndarray:
     """Per-value LEB128 byte length, bounded by the array max: one compare
     pass per byte tier actually present (1-2 for tf/dl/gap data) instead of
@@ -511,12 +545,17 @@ def build_index(
                 F.ceil(F.col("df") / F.lit(target_salt_postings)).cast("int"),
             ).otherwise(F.lit(1)),
         )
-        write_table(dct, index_dir, "dictionary")
-        write_table(dstats, index_dir, "doc_stats")
+        # the three stage-1 artifacts share no dependency — submit the two
+        # side tables from background threads so the quota'd cores stay
+        # busy instead of draining one small write at a time (same
+        # overlap as _build_index_single_shot; outputs byte-identical)
+        bg = [_bg_job(lambda: write_table(dstats, index_dir, "doc_stats"))]
         if doc_map_cols:
-            write_table(
-                corpus.select(id_col, *doc_map_cols), index_dir, "doc_map"
-            )
+            dm_sel = corpus.select(id_col, *doc_map_cols)
+            bg.append(_bg_job(lambda: write_table(dm_sel, index_dir, "doc_map")))
+        write_table(dct, index_dir, "dictionary")
+        for th, holder in bg:
+            _bg_join(th, holder)
 
         dct_r = read_table(spark, index_dir, "dictionary")
         enriched = (
@@ -801,6 +840,20 @@ def _build_index_single_shot(
         F.max("dl").alias("max_dl"),
         F.max("doc_id").alias("max_doc"), F.min("doc_id").alias("min_doc"),
     )
+    # doc_map is independent of every other pre-encode artifact (it reads
+    # only the cached corpus projection), so its write overlaps the
+    # doc_stats/term_ids/pack critical path instead of serializing behind
+    # it (phase wall times below therefore overlap; build_sec is the truth)
+    dm_thread = dm_holder = None
+    if doc_map_cols:
+        dm_sel = corpus.select(id_col, *doc_map_cols)
+
+        def _write_doc_map() -> None:
+            t_dm = time.perf_counter()
+            write_table(dm_sel, index_dir, "doc_map")
+            _tick("doc_map_write", t_dm)
+
+        dm_thread, dm_holder = _bg_job(_write_doc_map)
     t = time.perf_counter()
     write_table(dstats, index_dir, "doc_stats")
     _tick("doc_stats_write", t)
@@ -826,10 +879,6 @@ def _build_index_single_shot(
     t = time.perf_counter()
     dct_pre = assign_dense_ids(dct_pre, ["term"], id_col="term_id", pins=pins).persist()
     _tick("term_ids", t)
-    if doc_map_cols:
-        t = time.perf_counter()
-        write_table(corpus.select(id_col, *doc_map_cols), index_dir, "doc_map")
-        _tick("doc_map_write", t)
 
     enriched = (
         occ.join(F.broadcast(dct_pre.select("term", "term_id", "n_salts")), "term")
@@ -866,6 +915,11 @@ def _build_index_single_shot(
         and (max_doc << dl_bits) + max_dl < (1 << 63)
     )
     phases.append(("pack_plan", time.perf_counter() - t))
+    if dm_thread is not None:
+        # join before the encode write: the Arrow batch-size override below
+        # is session-global, and the corpus-sized exchange deserves the
+        # whole quota anyway
+        _bg_join(dm_thread, dm_holder)
     if packable:
         enriched = enriched.select(
             (F.shiftleft("term_id", salt_bits)
@@ -953,33 +1007,38 @@ def _build_index_single_shot(
     dct_final = dct_pre.join(dfreq, "term_id").select(
         "term", "term_id", "df", "cf", "n_salts"
     )
+    # lineage + segments depend only on the (already-observed) encode
+    # metrics, not on the dictionary — overlap them with the dictionary
+    # finalize. One job-level lineage row (part_id = -1 marks "all parts,
+    # one commit").
+    def _write_meta() -> None:
+        t_m = time.perf_counter()
+        spark.createDataFrame(
+            [(-1, n_docs, int(m["postings"]), int(m["bytes"]), "complete")],
+            "part_id int, docs_indexed long, postings_emitted long, "
+            "bytes_compressed long, status string",
+        ).write.mode("overwrite").parquet(table_path(index_dir, "build_lineage"))
+        seg = spark.createDataFrame(
+            [
+                (
+                    FORMAT_VERSION, n_docs, avgdl, float(k1), float(b),
+                    int(block_size), TOKEN_PATTERN, int(n_parts),
+                )
+            ],
+            "format_version int, n_docs long, avgdl double, k1 double, "
+            "b double, block_size int, token_pattern string, n_parts int",
+        )
+        write_table(seg, index_dir, "segments")
+        _tick("meta_writes", t_m)
+
+    meta_thread, meta_holder = _bg_job(_write_meta)
     t = time.perf_counter()
     write_table(dct_final, index_dir, "dictionary")
     _tick("dictionary_write", t)
+    _bg_join(meta_thread, meta_holder)
     dct_pre.unpersist()
     for p in pins:
         p.unpersist()
-
-    # lineage: one job-level row (part_id = -1 marks "all parts, one commit")
-    t = time.perf_counter()
-    spark.createDataFrame(
-        [(-1, n_docs, int(m["postings"]), int(m["bytes"]), "complete")],
-        "part_id int, docs_indexed long, postings_emitted long, "
-        "bytes_compressed long, status string",
-    ).write.mode("overwrite").parquet(table_path(index_dir, "build_lineage"))
-
-    seg = spark.createDataFrame(
-        [
-            (
-                FORMAT_VERSION, n_docs, avgdl, float(k1), float(b),
-                int(block_size), TOKEN_PATTERN, int(n_parts),
-            )
-        ],
-        "format_version int, n_docs long, avgdl double, k1 double, b double, "
-        "block_size int, token_pattern string, n_parts int",
-    )
-    write_table(seg, index_dir, "segments")
-    _tick("meta_writes", t)
     for p in own_persists:
         p.unpersist()
     return {
