@@ -1531,6 +1531,14 @@ def main() -> None:
         nvq_compression=nvq_compression(spark)))
     section("bandwidth_probe", 90, lambda: result.update(
         bandwidth_probe=bandwidth_probe()))
+    # recall/QPS grid runs HERE, before scaling, not as the final tail
+    # section: scaling is the budget-flexible consumer (its pair loop
+    # already adapts to remaining()), so every fixed-cost section must
+    # precede it — the round-5 full runs twice archived
+    # skipped=[recall_qps_grid] because 5 scaling pairs left <300 s of
+    # tail. Self-contained (SF_DIR embeddings, own codes), reuses this JVM.
+    section("recall_qps_grid", 300, lambda: result.update(
+        recall_qps_grid=recall_qps_grid(spark)))
 
     # 3) synth the scaling sources while the 32-core JVM is up
     from pyspark.sql import functions as F
@@ -1958,8 +1966,6 @@ def main() -> None:
     section("throughput_docpart", 200, _docpart)
     section("streaming", 300, lambda: result.update(
         streaming=streaming_ingest(spark2, workdir)))
-    section("recall_qps_grid", 300, lambda: result.update(
-        recall_qps_grid=recall_qps_grid(spark2)))
 
     spark2.stop()
     result["value"] = round(time.monotonic() - t_start, 3)
