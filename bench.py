@@ -83,7 +83,7 @@ N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "5000"))
 # bakes in the same repeated-timed-runs defense
 # (ThroughputBenchmark.java:56-61) — steal-gating just makes the
 # "discard contended runs" rule objective instead of eyeballed.
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "6"))
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "9"))
 # 2 clean pairs is the FLOOR, 3 the target (round-5 policy fix): the
 # round-4 archive stopped at 2 clean pairs whose build_effs were 0.81 and
 # 0.61 — consistent with one of them hitting the documented INVISIBLE
@@ -129,6 +129,17 @@ SCALE_STEAL_CLEAN = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_CLEAN", "0.10"
 # measured populations: quiet windows 0.87–1.03, moderate 1.24–1.25,
 # storms 1.40–1.78.
 SCALE_CALM_BAND = float(os.environ.get("SPARK_GRAFT_SCALE_CALM_BAND", "1.2"))
+# Middle selection tier between "calm" and "steal_clean": when fewer than
+# 2 calm pairs exist, exclude pairs whose busy-inflation flags an OUTRIGHT
+# storm before taking the median. 1.35 sits in the unpopulated gap between
+# the measured moderate (≤1.25) and storm (≥1.40) populations, so the tier
+# drops only samples the instrument positively identifies as
+# storm-contaminated (in either direction — <1/1.35 means the LO leg ate
+# the storm and the ratio is inflated). The round-5 full-default run is
+# the motivating case: steal-clean inflations [1.436, 0.928, 2.054, 1.261,
+# 1.231] with 1 calm pair — the old chain fell straight to a steal-clean
+# median that averaged two storm pairs into the headline.
+SCALE_STORM_BAND = float(os.environ.get("SPARK_GRAFT_SCALE_STORM_BAND", "1.35"))
 
 HEADLINE = [
     "bm25_topk",
@@ -250,7 +261,9 @@ def _select_pairs(pair_rows: list[dict]) -> tuple[list[dict], str]:
     SCALE_CALM_BAND). Returns (used_pairs, selection_label).
 
     ≥2 CALM pairs (steal-clean AND busy-inflation inside the band — the
-    dedicated-node-faithful samples) → median over those; else the
+    dedicated-node-faithful samples) → median over those; else ≥2
+    steal-clean pairs NOT flagged as outright storms by the inflation
+    instrument (|band| ≤ SCALE_STORM_BAND) → median over those; else the
     steal-clean median exactly as rounds 4–5-early; else every pair was
     contended and all are used. The label is archived as
     ``pair_selection`` so the artifact is self-describing.
@@ -259,6 +272,13 @@ def _select_pairs(pair_rows: list[dict]) -> tuple[list[dict], str]:
     clean_pairs = [p for p in pair_rows if p.get("clean")]
     if len(calm_pairs) >= 2:
         return calm_pairs, "calm"
+    storm_free = [
+        p for p in clean_pairs
+        if p.get("busy_inflation") is not None
+        and 1.0 / SCALE_STORM_BAND <= p["busy_inflation"] <= SCALE_STORM_BAND
+    ]
+    if len(storm_free) >= 2:
+        return storm_free, "storm_excluded"
     if clean_pairs:
         return clean_pairs, "steal_clean"
     return pair_rows, "all_contended"
@@ -805,11 +825,18 @@ def transcripts_job(
     src = spark.read.parquet(src_parquet)
     n_turns = src.count()  # warms the scan; excluded cost is negligible
 
+    # n_queries=0 → build-only PROBE leg: the scaling section uses these
+    # cheap pairs to keep sampling the contested build ratio when calm
+    # host windows are scarce (query_eff is window-stable and already
+    # covered by the full pairs)
     nq = N_QUERIES if n_queries is None else n_queries
-    qset = make_query_set(nq)
-    qterms = queries_df(
-        spark, [(r.query_id, list(r.terms)) for r in qset.itertuples(index=False)]
-    )
+    qterms = None
+    if nq > 0:
+        qset = make_query_set(nq)
+        qterms = queries_df(
+            spark,
+            [(r.query_id, list(r.terms)) for r in qset.itertuples(index=False)],
+        )
 
     if warmup:
         warm_dir = os.path.join(idx_dir, "_warm")
@@ -817,9 +844,10 @@ def transcripts_job(
         build_index_transcripts(
             sample, warm_dir, ["conv_id", "turn_idx"], n_parts=2
         )
-        bm25_topk_indexed(
-            spark, warm_dir, qterms.filter(F.col("query_id") < 50), k=10
-        ).count()
+        if qterms is not None:
+            bm25_topk_indexed(
+                spark, warm_dir, qterms.filter(F.col("query_id") < 50), k=10
+            ).count()
         shutil.rmtree(warm_dir, ignore_errors=True)
 
     cpu0 = _cpu_sample()
@@ -837,11 +865,14 @@ def transcripts_job(
     t_build = time.perf_counter() - t0
     cpu_build = _cpu_delta(cpu0, _cpu_sample(), t_build)
 
-    cpu0 = _cpu_sample()
-    t0 = time.perf_counter()
-    n_res = bm25_topk_indexed(spark, idx_dir, qterms, k=10, prune=True).count()
-    t_query = time.perf_counter() - t0
-    cpu_query = _cpu_delta(cpu0, _cpu_sample(), t_query)
+    n_res, t_query, cpu_query = 0, None, None
+    if qterms is not None:
+        cpu0 = _cpu_sample()
+        t0 = time.perf_counter()
+        n_res = bm25_topk_indexed(
+            spark, idx_dir, qterms, k=10, prune=True).count()
+        t_query = time.perf_counter() - t0
+        cpu_query = _cpu_delta(cpu0, _cpu_sample(), t_query)
 
     # per-query search-cost + latency counters on a 1000-query sample
     # (SearchResult visited/expanded + LatencyBenchmark.java:30-80 analog):
@@ -851,7 +882,7 @@ def transcripts_job(
     # cost is parallelism-independent (docs/SCALE.md), so paying this
     # extra pass per leg only burns the pair budget.
     lat, dec, skip = {}, 0, 0
-    if with_latency:
+    if with_latency and qterms is not None:
         per_q = (
             bm25_topk_indexed(
                 spark, idx_dir, qterms.filter(F.col("query_id") < 1000),
@@ -881,7 +912,7 @@ def transcripts_job(
         } if len(ms) else {}
 
     out_dp = {}
-    if include_docpart:
+    if include_docpart and qterms is not None:
         # the scatter-gather layout's build + query at the same parallelism:
         # its query path ships the query set INTO the scan (no per-query
         # shuffle), so its QPS scaling isolates kernel-compute scaling
@@ -920,8 +951,8 @@ def transcripts_job(
         "cpu_query": cpu_query,
         "build_sec": round(t_build, 3),
         "turns_per_sec": round(n_turns / t_build, 1),
-        "query_sec": round(t_query, 3),
-        "qps": round(nq / t_query, 2),
+        "query_sec": round(t_query, 3) if t_query is not None else None,
+        "qps": round(nq / t_query, 2) if t_query is not None else None,
         "result_rows": int(n_res),
         "wand_blocks_decoded": dec,
         "wand_blocks_skipped": skip,
@@ -1312,7 +1343,11 @@ def _job_main(cores: int, src: str, workdir: str) -> None:
     r = transcripts_job(
         spark, src, workdir, warmup=True,
         include_docpart=os.environ.get("SPARK_GRAFT_INCLUDE_DP", "1") == "1",
-        n_queries=int(os.environ.get("SPARK_GRAFT_SCALE_LEG_QUERIES", "1000")),
+        # 600 (was 1000): the lo-leg query batch is the pair's single most
+        # expensive component (~10 QPS at 1 core → 60 s vs 100 s) and the
+        # ratio is unchanged by batch size once WAND compute dominates —
+        # the saved ~50 s/pair buys more calm-window sampling attempts
+        n_queries=int(os.environ.get("SPARK_GRAFT_SCALE_LEG_QUERIES", "600")),
         with_latency=False,
     )
     spark.stop()
@@ -1622,13 +1657,18 @@ def main() -> None:
                 "cpu_quota": os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") == "1",
             }
 
-            def one(cores: int, pin_base: int = 0) -> dict:
+            def one(cores: int, pin_base: int = 0, probe: bool = False) -> dict:
                 # leg timeout shrinks to the remaining budget: one slow leg
                 # (host contention window) must cost its pair, not the
                 # artifact — and its process GROUP dies with it, so a
                 # straggler JVM can't keep building through later timings
                 env = {**os.environ, "SPARK_GRAFT_INCLUDE_DP":
                        "1" if with_dp else "0"}
+                if probe:
+                    # build-only probe leg: skip the query batch (and its
+                    # warmup) — ~0.5× the wall of a full pair, same build
+                    # measurement, used to keep sampling for calm windows
+                    env["SPARK_GRAFT_SCALE_LEG_QUERIES"] = "0"
                 if os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") == "1":
                     # quota the leg to exactly its nominal cores (see
                     # _job_main); bases rotate across pairs so a vCPU whose
@@ -1658,6 +1698,7 @@ def main() -> None:
             lo_runs, hi_runs, pair_rows = [], [], []
             n_clean = n_calm = 0
             pair_walls: list[float] = []
+            probe_walls: list[float] = []
             for pair_i in range(SCALE_REPEATS):
                 # leave room for the sharded pair + the tail sections
                 # (streaming/grid were budget-starved in the round-4 dress
@@ -1668,6 +1709,7 @@ def main() -> None:
                     # three CALM pairs (steal-clean AND busy-inflation in
                     # band) is the strongest read this box produces; stop.
                     break
+                probe = False
                 if n_clean >= SCALE_CLEAN_PAIRS:
                     # round-4 lesson: 2 clean pairs + lower-median archived
                     # 0.61 while the run left 1310 s unused and its OTHER
@@ -1678,15 +1720,31 @@ def main() -> None:
                     # SCALE_CALM_BAND), and ALWAYS when the clean pairs
                     # disagree by >0.1 (the objective "one of these saw a
                     # window" trigger); the median then rejects outliers.
-                    if n_clean >= 5:
+                    if n_clean >= 5 and n_calm >= 2:
+                        break  # strong read already; tail sections' turn
+                    if n_clean >= 8:
                         break  # hard cap — budget belongs to tail sections
+                    # calm-window deficit → switch to build-only PROBE
+                    # pairs (~0.5× wall): query_eff is window-stable and
+                    # already sampled by the full pairs; build_eff is the
+                    # contested number, so buy more samples of it per
+                    # budget-second (probes carry full cpu/inflation
+                    # instrumentation and rank equally in selection)
+                    probe = n_calm < 2
                     clean_effs = sorted(
                         p["build_eff"] for p in pair_rows if p["clean"])
                     disagree = (
                         len(clean_effs) >= 2
                         and clean_effs[-1] - clean_effs[0] > 0.1
                     )
-                    pair_cost = max(pair_walls) if pair_walls else 700.0
+                    if probe:
+                        pair_cost = (
+                            max(probe_walls) if probe_walls
+                            else 0.6 * (max(pair_walls) if pair_walls
+                                        else 700.0)
+                        )
+                    else:
+                        pair_cost = max(pair_walls) if pair_walls else 700.0
                     # a disagreement tiebreaker (or a calm-pair deficit)
                     # tolerates a thinner tail reserve: losing one tail
                     # section is cheaper than archiving a window-poisoned
@@ -1703,15 +1761,17 @@ def main() -> None:
                 base = (pair_i * (SCALE_LO + SCALE_HI + 3)) % 24
                 t_pair = time.monotonic()
                 try:
-                    lo = one(SCALE_LO, pin_base=base)
-                    hi = one(SCALE_HI, pin_base=base + SCALE_LO + 1)
+                    lo = one(SCALE_LO, pin_base=base, probe=probe)
+                    hi = one(SCALE_HI, pin_base=base + SCALE_LO + 1,
+                             probe=probe)
                 except Exception as e:  # noqa: BLE001
                     # keep completed pairs; a lost leg costs only its pair
                     scaling.setdefault("pair_errors", []).append(
                         f"pair {pair_i}: {e}"[:300]
                     )
                     break
-                pair_walls.append(time.monotonic() - t_pair)
+                (probe_walls if probe else pair_walls).append(
+                    time.monotonic() - t_pair)
                 lo_runs.append(lo)
                 hi_runs.append(hi)
                 ratio = SCALE_HI / SCALE_LO
@@ -1743,7 +1803,11 @@ def main() -> None:
                 n_calm += int(calm)
                 pair_rows.append({
                     "build_eff": build_eff,
-                    "query_eff": round(hi["qps"] / (ratio * lo["qps"]), 3),
+                    "probe": probe,
+                    "query_eff": (
+                        round(hi["qps"] / (ratio * lo["qps"]), 3)
+                        if (hi.get("qps") and lo.get("qps")) else None
+                    ),
                     # per-BUSY-core efficiency: how much of the lo leg's
                     # per-core throughput the hi leg retains, normalizing
                     # away the constant ~0.2-core JVM-auxiliary free-ride
@@ -1784,7 +1848,8 @@ def main() -> None:
                 best = max(runs, key=lambda r: r["turns_per_sec"])
                 best = dict(best)
                 best.pop("idx_dir", None)
-                best["qps"] = max(r["qps"] for r in runs)
+                best["qps"] = max(
+                    (r["qps"] for r in runs if r.get("qps")), default=None)
                 best["all_runs"] = [
                     {"turns_per_sec": r["turns_per_sec"], "qps": r["qps"],
                      "cpu_build": r["cpu_build"], "cpu_query": r["cpu_query"]}
@@ -1800,8 +1865,16 @@ def main() -> None:
             scaling["clean_pairs_used"] = len(clean_pairs)
             scaling["build_efficiency"] = _median_low(
                 sorted(p["build_eff"] for p in used))
-            scaling["query_efficiency"] = _median_low(
-                sorted(p["query_eff"] for p in used))
+            # probes carry no query leg: the query median falls back to
+            # whatever full pairs (preferring the selected tier) have one
+            q_pairs = (
+                [p for p in used if p.get("query_eff") is not None]
+                or [p for p in pair_rows if p.get("query_eff") is not None]
+            )
+            scaling["query_efficiency"] = (
+                _median_low(sorted(p["query_eff"] for p in q_pairs))
+                if q_pairs else None
+            )
             scaling["build_efficiency_per_busy_core"] = _median_low(
                 sorted(p["build_eff_per_busy_core"] for p in used))
             # the decomposition eff = utilization / inflation: utilization

@@ -48,9 +48,10 @@ def test_calm_pairs_preferred(benchmod):
     # lo-taxed pair (0.873), one moderate pair (1.243) — all steal-clean.
     rows = [_pair(0.493, 1.782), _pair(1.045, 0.873), _pair(0.736, 1.243)]
     used, sel = benchmod._select_pairs(rows)
-    # only the 0.873 pair is calm -> <2 calm -> steal-clean fallback
-    assert sel == "steal_clean"
-    assert len(used) == 3
+    # only the 0.873 pair is calm -> <2 calm -> storm-excluded tier drops
+    # the 1.782 pair (outside the 1.35 storm band) and keeps the other two
+    assert sel == "storm_excluded"
+    assert sorted(p["busy_inflation"] for p in used) == [0.873, 1.243]
 
     # add one genuinely calm pair: now two calm pairs carry the median
     rows.append(_pair(0.877, 1.03))
@@ -76,11 +77,33 @@ def test_fallback_chain(benchmod):
     used, sel = benchmod._select_pairs(rows)
     assert sel == "all_contended"
     assert len(used) == 2
-    # one clean (storm-inflated) -> steal_clean
+    # one clean (storm-inflated) -> steal_clean (storm tier needs >=2
+    # in-band pairs and this one sits outside the band anyway)
     rows.append(_pair(0.63, 1.40, clean=True))
     used, sel = benchmod._select_pairs(rows)
     assert sel == "steal_clean"
     assert [p["build_eff"] for p in used] == [0.63]
+
+
+def test_storm_excluded_tier(benchmod):
+    # the round-5 full-default archive: 5 steal-clean pairs, inflations
+    # [1.436, 0.928, 2.054, 1.261, 1.231], 1 calm. Old chain -> steal_clean
+    # median 0.675 with two storm pairs inside it; the storm tier keeps the
+    # three in-band pairs and medians those.
+    rows = [
+        _pair(0.603, 1.436), _pair(0.988, 0.928), _pair(0.406, 2.054),
+        _pair(0.725, 1.261), _pair(0.675, 1.231),
+    ]
+    used, sel = benchmod._select_pairs(rows)
+    assert sel == "storm_excluded"
+    effs = sorted(p["build_eff"] for p in used)
+    assert effs == [0.675, 0.725, 0.988]
+    assert benchmod._median_low(effs) == 0.725
+    # symmetric: a lo-taxed pair below 1/1.35 is excluded too
+    rows2 = [_pair(1.30, 0.70), _pair(0.70, 1.30), _pair(0.72, 1.28)]
+    used2, sel2 = benchmod._select_pairs(rows2)
+    assert sel2 == "storm_excluded"
+    assert all(1 / 1.35 <= p["busy_inflation"] <= 1.35 for p in used2)
 
 
 def test_median_low_true_median_on_odd(benchmod):
