@@ -284,6 +284,31 @@ def _select_pairs(pair_rows: list[dict]) -> tuple[list[dict], str]:
     return pair_rows, "all_contended"
 
 
+def _select_query_pairs(pair_rows: list[dict]) -> tuple[list[dict], str]:
+    """Same selection chain as ``_select_pairs`` but driven by the QUERY
+    legs' own steal/inflation instrument (``query_clean`` /
+    ``query_busy_inflation`` / ``query_calm``): the query batch runs in a
+    different time window than the build, so a build-calm pair can carry a
+    window-poisoned query sample and vice versa. Only pairs that ran a
+    query leg participate."""
+    qp = [p for p in pair_rows if p.get("query_eff") is not None]
+    calm = [p for p in qp if p.get("query_calm")]
+    if len(calm) >= 2:
+        return calm, "calm"
+    storm_free = [
+        p for p in qp
+        if p.get("query_busy_inflation") is not None
+        and 1.0 / SCALE_STORM_BAND
+        <= p["query_busy_inflation"] <= SCALE_STORM_BAND
+    ]
+    if len(storm_free) >= 2:
+        return storm_free, "storm_excluded"
+    clean = [p for p in qp if p.get("query_clean")]
+    if clean:
+        return clean, "steal_clean"
+    return qp, "all_contended"
+
+
 def _cpu_sample() -> list[int]:
     """Cumulative jiffies from /proc/stat. When the calling process is
     pinned to a strict subset of the box (a CPU-quota'd scaling leg), sum
@@ -1390,6 +1415,7 @@ def _compact_line(result: dict, skipped: list[str]) -> str:
             # dedicated 4-node pair, inflation≈1, would measure as eff
             "hi_core_utilization": sc.get("hi_core_utilization"),
             "pair_selection": sc.get("pair_selection"),
+            "query_sel": sc.get("query_pair_selection"),
             "calm_pairs": sc.get("calm_pairs_used"),
             "clean_pairs": sc.get("clean_pairs_used"),
             "pair_build_effs": [
@@ -1665,10 +1691,14 @@ def main() -> None:
                 env = {**os.environ, "SPARK_GRAFT_INCLUDE_DP":
                        "1" if with_dp else "0"}
                 if probe:
-                    # build-only probe leg: skip the query batch (and its
-                    # warmup) — ~0.5× the wall of a full pair, same build
-                    # measurement, used to keep sampling for calm windows
-                    env["SPARK_GRAFT_SCALE_LEG_QUERIES"] = "0"
+                    # light probe leg: a 200-query batch instead of 600 —
+                    # ~0.65× the wall of a full pair, same build
+                    # measurement, used to keep sampling for calm windows.
+                    # The query leg is kept (rather than dropped) so the
+                    # query median never collapses to one or two samples:
+                    # the ratio is batch-size-invariant once WAND compute
+                    # dominates, and each pair archives its leg count.
+                    env["SPARK_GRAFT_SCALE_LEG_QUERIES"] = "200"
                 if os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") == "1":
                     # quota the leg to exactly its nominal cores (see
                     # _job_main); bases rotate across pairs so a vCPU whose
@@ -1801,13 +1831,35 @@ def main() -> None:
                     <= busy_inflation <= SCALE_CALM_BAND
                 )
                 n_calm += int(calm)
+                # the query legs run in their OWN time window (after the
+                # builds), so they get their own steal/inflation instrument
+                # — a build-calm pair can still carry a window-poisoned
+                # query sample (measured: build inflation 1.003 with query
+                # inflation 1.260 in the same pair)
+                q_infl = q_clean = q_calm = None
+                if lo.get("cpu_query") and hi.get("cpu_query"):
+                    q_clean = all(
+                        r["cpu_query"]["avg_steal_cores"]
+                        <= SCALE_STEAL_CLEAN * legc
+                        for r, legc in ((lo, SCALE_LO), (hi, SCALE_HI))
+                    )
+                    q_infl = round(
+                        hi["cpu_query"]["busy_core_s"]
+                        / max(lo["cpu_query"]["busy_core_s"], 1e-9), 3)
+                    q_calm = q_clean and (
+                        1.0 / SCALE_CALM_BAND <= q_infl <= SCALE_CALM_BAND)
                 pair_rows.append({
                     "build_eff": build_eff,
                     "probe": probe,
+                    "leg_queries": 200 if probe else int(os.environ.get(
+                        "SPARK_GRAFT_SCALE_LEG_QUERIES", "600")),
                     "query_eff": (
                         round(hi["qps"] / (ratio * lo["qps"]), 3)
                         if (hi.get("qps") and lo.get("qps")) else None
                     ),
+                    "query_busy_inflation": q_infl,
+                    "query_clean": q_clean,
+                    "query_calm": q_calm,
                     # per-BUSY-core efficiency: how much of the lo leg's
                     # per-core throughput the hi leg retains, normalizing
                     # away the constant ~0.2-core JVM-auxiliary free-ride
@@ -1865,15 +1917,14 @@ def main() -> None:
             scaling["clean_pairs_used"] = len(clean_pairs)
             scaling["build_efficiency"] = _median_low(
                 sorted(p["build_eff"] for p in used))
-            # probes carry no query leg: the query median falls back to
-            # whatever full pairs (preferring the selected tier) have one
-            q_pairs = (
-                [p for p in used if p.get("query_eff") is not None]
-                or [p for p in pair_rows if p.get("query_eff") is not None]
-            )
+            # the query median runs its own selection over the query legs'
+            # instrument (they live in a different time window than the
+            # builds — see _select_query_pairs)
+            q_used, q_sel = _select_query_pairs(pair_rows)
+            scaling["query_pair_selection"] = q_sel
             scaling["query_efficiency"] = (
-                _median_low(sorted(p["query_eff"] for p in q_pairs))
-                if q_pairs else None
+                _median_low(sorted(p["query_eff"] for p in q_used))
+                if q_used else None
             )
             scaling["build_efficiency_per_busy_core"] = _median_low(
                 sorted(p["build_eff_per_busy_core"] for p in used))

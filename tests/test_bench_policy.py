@@ -106,6 +106,44 @@ def test_storm_excluded_tier(benchmod):
     assert all(1 / 1.35 <= p["busy_inflation"] <= 1.35 for p in used2)
 
 
+def _qpair(query_eff, q_inflation, q_clean=True, build_eff=0.8):
+    band = 1.2
+    row = _pair(build_eff, 1.0)
+    row.update({
+        "query_eff": query_eff,
+        "query_busy_inflation": q_inflation,
+        "query_clean": q_clean,
+        "query_calm": (
+            q_clean and q_inflation is not None
+            and 1.0 / band <= q_inflation <= band
+        ),
+    })
+    return row
+
+
+def test_query_selection_uses_query_instrument(benchmod):
+    # the probe-policy validation run: a build-calm pair whose QUERY legs
+    # were window-poisoned (inflation 1.260, eff 0.719) next to a
+    # build-moderate pair whose query legs were calm (1.001, eff 0.959).
+    # Probes (query_eff None) must not participate.
+    rows = [
+        _qpair(0.719, 1.260),
+        _qpair(0.959, 1.001),
+        {**_pair(0.87, 1.06), "query_eff": None,
+         "query_busy_inflation": None, "query_clean": None,
+         "query_calm": None, "probe": True},
+    ]
+    used, sel = benchmod._select_query_pairs(rows)
+    # 1 query-calm pair -> storm tier keeps both samples (1.26 < 1.35)
+    assert sel == "storm_excluded"
+    assert sorted(p["query_eff"] for p in used) == [0.719, 0.959]
+    # a second query-calm pair promotes the tier and drops the 1.26 sample
+    rows.append(_qpair(0.93, 0.99))
+    used, sel = benchmod._select_query_pairs(rows)
+    assert sel == "calm"
+    assert sorted(p["query_eff"] for p in used) == [0.93, 0.959]
+
+
 def test_median_low_true_median_on_odd(benchmod):
     assert benchmod._median_low([0.493, 0.736, 1.045]) == 0.736
     assert benchmod._median_low([0.61, 0.81]) == 0.61  # conservative even
