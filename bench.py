@@ -966,7 +966,7 @@ def transcripts_job(
             "dp_qps": round(nq / dp_query, 2),
         }
 
-    return {
+    out = {
         "idx_dir": idx_dir,
         "query_kernel_latency": lat,
         **out_dp,
@@ -979,10 +979,15 @@ def transcripts_job(
         "query_sec": round(t_query, 3) if t_query is not None else None,
         "qps": round(nq / t_query, 2) if t_query is not None else None,
         "result_rows": int(n_res),
-        "wand_blocks_decoded": dec,
-        "wand_blocks_skipped": skip,
-        "wand_skip_ratio": round(skip / max(dec + skip, 1), 3),
     }
+    # Only archive WAND counters when the latency pass actually measured
+    # them; a literal 0.0 skip ratio in a leg that skipped the pass reads
+    # as a pruning regression (the round-4 accuracy-section mistake).
+    if with_latency and qterms is not None:
+        out["wand_blocks_decoded"] = dec
+        out["wand_blocks_skipped"] = skip
+        out["wand_skip_ratio"] = round(skip / max(dec + skip, 1), 3)
+    return out
 
 
 def streaming_ingest(spark, workdir: str) -> dict:
