@@ -503,6 +503,7 @@ def build_index(
     fail_after_parts: int | None = None,
     keep_staging: bool = False,
     checkpointed: bool = True,
+    exact_df_salts: bool = False,
 ) -> dict:
     """Build (or resume) the full index at ``index_dir``. Returns build
     metrics. ``fail_after_parts`` injects a crash after that many part
@@ -516,11 +517,19 @@ def build_index(
     an acceptable failure-domain — e.g. moderate corpora or benchmarking;
     the checkpointed path costs one extra corpus-sized write+read plus a
     fixed ~1s of driver scheduling per part, which buys partition-level
-    restart (B11/B12)."""
+    restart (B11/B12).
+
+    ``exact_df_salts`` (single-shot only) derives the hot-term salt plan
+    from df (distinct docs per term) exactly as the checkpointed path
+    does, instead of the default cf (total occurrences ≥ df): the block
+    layout then matches the checkpointed build byte-for-byte. It costs a
+    countDistinct expansion in the vocabulary aggregate, so it is opt-in
+    — the fused transcripts build keeps the cheaper cf plan."""
     if not checkpointed:
         return _build_index_single_shot(
             corpus, index_dir, text_col, id_col, doc_map_cols, k1, b,
             block_size, salt_threshold, target_salt_postings, n_parts,
+            exact_df_salts=exact_df_salts,
         )
     spark = corpus.sparkSession
     staging_dir = os.path.join(index_dir, "_staging_tf")
@@ -758,6 +767,7 @@ def _build_index_single_shot(
     toks_col: str | None = None,
     id_offset: int = 0,
     phases: list | None = None,
+    exact_df_salts: bool = False,
 ) -> dict:
     """Fast path: 3-4 Spark jobs total, no staging round-trip.
 
@@ -863,15 +873,25 @@ def _build_index_single_shot(
     max_doc, min_doc = int(st["max_doc"] or 0), int(st["min_doc"] or 0)
 
     # pre-dictionary: term_id (dense, lexicographic) + cf + salt plan; one
-    # aggregated shuffle whose output is vocabulary-, not corpus-, sized
+    # aggregated shuffle whose output is vocabulary-, not corpus-, sized.
+    # With exact_df_salts the aggregate also carries countDistinct(doc_id)
+    # so n_salts (and therefore the block layout) matches the checkpointed
+    # path's df-based plan exactly — and the final dictionary df needs no
+    # post-encode recompute pass.
+    agg_cols = [F.count("*").cast("long").alias("cf")]
+    if exact_df_salts:
+        agg_cols.append(F.countDistinct("doc_id").cast("long").alias("df"))
     dct_pre = (
         occ.groupBy("term")
-        .agg(F.count("*").cast("long").alias("cf"))
+        .agg(*agg_cols)
         .withColumn(
             "n_salts",
             F.when(
-                F.col("cf") > salt_threshold,
-                F.ceil(F.col("cf") / F.lit(target_salt_postings)).cast("int"),
+                F.col("df" if exact_df_salts else "cf") > salt_threshold,
+                F.ceil(
+                    F.col("df" if exact_df_salts else "cf")
+                    / F.lit(target_salt_postings)
+                ).cast("int"),
             ).otherwise(F.lit(1)),
         )
     )
@@ -998,15 +1018,20 @@ def _build_index_single_shot(
     _tick("encode_shuffle_write", t)
     m = obs.get
 
-    # finalize dictionary: exact df from block meta (column-pruned scan)
-    dfreq = (
-        read_table(spark, index_dir, "postings")
-        .groupBy("term_id")
-        .agg(F.sum("n").cast("long").alias("df"))
-    )
-    dct_final = dct_pre.join(dfreq, "term_id").select(
-        "term", "term_id", "df", "cf", "n_salts"
-    )
+    if exact_df_salts:
+        # df already exact in the pre-dictionary (countDistinct) — no
+        # post-encode recompute pass over the postings meta needed
+        dct_final = dct_pre.select("term", "term_id", "df", "cf", "n_salts")
+    else:
+        # finalize dictionary: exact df from block meta (column-pruned scan)
+        dfreq = (
+            read_table(spark, index_dir, "postings")
+            .groupBy("term_id")
+            .agg(F.sum("n").cast("long").alias("df"))
+        )
+        dct_final = dct_pre.join(dfreq, "term_id").select(
+            "term", "term_id", "df", "cf", "n_salts"
+        )
     # lineage + segments depend only on the (already-observed) encode
     # metrics, not on the dictionary — overlap them with the dictionary
     # finalize. One job-level lineage row (part_id = -1 marks "all parts,

@@ -72,6 +72,45 @@ def shuffle_n(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
+def _ddl_names(schema: str) -> list[str]:
+    """Column names from a DDL schema string, splitting only on top-level
+    commas (``array<double>`` etc. stay intact)."""
+    names, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            names.append("".join(cur).strip().split()[0])
+            cur = []
+        else:
+            cur.append(ch)
+    names.append("".join(cur).strip().split()[0])
+    return names
+
+
+def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """One-partition DataFrame from driver-local rows, converted via Arrow.
+
+    ``createDataFrame(list)`` splits local data into ``defaultParallelism``
+    pickled slices, and a ``coalesce(1)`` over that local-relation parent
+    re-serializes the whole relation through a Python-worker task
+    (measured ~4 s per job at local[32], even for 64 rows). The pandas/
+    Arrow conversion happens driver-side with no Python worker at all, and
+    ``repartition(1)`` gives writers their single output file for well
+    under a second."""
+    import pandas as pd
+
+    names = _ddl_names(schema)
+    pdf = (
+        pd.DataFrame(dict(zip(names, map(list, zip(*rows)))))
+        if rows
+        else pd.DataFrame({n: [] for n in names})
+    )
+    return spark.createDataFrame(pdf, schema).repartition(1)
+
+
 def write_table(df: DataFrame, index_dir: str, name: str, mode: str = "overwrite",
                 partition_by: list[str] | None = None) -> None:
     w = df.write.mode(mode)

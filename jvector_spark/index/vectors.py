@@ -36,6 +36,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .storage import local_df
+
 FORMAT_VERSION = 1
 
 
@@ -51,11 +53,12 @@ def _write_manifest(spark: SparkSession, index_dir: str, kind: str, **fields) ->
         "train_mse": 0.0,
         **fields,
     }
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(row["version"]), str(row["kind"]), int(row["dim"]), int(row["m"]),
           int(row["k"]), int(row["dsub"]), float(row["train_mse"]))],
         "version int, kind string, dim int, m int, k int, dsub int, train_mse double",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
 
 
 def read_manifest(spark: SparkSession, index_dir: str) -> dict:
@@ -122,14 +125,15 @@ def pq_build(
         id_col=id_col, vec_col=vec_col,
     )
     mm, k, dsub = books.shape
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (int(s), int(c), [float(x) for x in books[s, c]])
             for s in range(mm)
             for c in range(k)
         ],
         "subspace int, cluster int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "codebooks"))
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "codebooks"))
     codes = pq_encode(
         embeddings, books, id_col, vec_col, anisotropic_eta=anisotropic_eta
     )
@@ -314,10 +318,11 @@ def sq8_build(
 
     spark = embeddings.sparkSession
     mn, scale = sq8_train(embeddings, vec_col)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(mn, scale))],
         "i int, mn double, scale double",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "params"))
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "params"))
     sq8_encode(embeddings, mn, scale, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(os.path.join(index_dir, "codes"))
@@ -436,15 +441,24 @@ def bq_build(
     (BinaryQuantization.java:88-110's packed-long layout as a parquet
     binary column). No trained parameters — the manifest records only the
     dimension. Returns the number of vectors encoded."""
+    from pyspark.sql import Observation
+
     from ..operators.bq import bq_encode
 
     spark = embeddings.sparkSession
     first = embeddings.select(vec_col).first()
     dim = len(first[0]) if first else 0
-    codes = bq_encode(embeddings, id_col, vec_col)
+    # count observed on the encode write itself — a separate read-back
+    # count() job would re-scan the codes table for a number the write
+    # already saw
+    obs = Observation("bq_build_n")
+    codes = bq_encode(embeddings, id_col, vec_col).observe(
+        obs, F.count("*").alias("n")
+    )
     codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    n = int(obs.get["n"])
     _write_manifest(spark, index_dir, "bq", dim=dim)
-    return int(read_codes(spark, index_dir).count())
+    return n
 
 
 def bq_load(spark: SparkSession, index_dir: str) -> tuple[int, DataFrame]:
@@ -504,15 +518,22 @@ def nvq_build(
     trained corpus state — the manifest records only (dim, bits) — so
     extend ≡ rebuild exactly and nothing can drift. Returns the number of
     vectors encoded; ``m`` in the manifest carries ``bits``."""
+    from pyspark.sql import Observation
+
     from ..operators.nvq import nvq_encode
 
     spark = embeddings.sparkSession
     first = embeddings.select(vec_col).first()
     dim = len(first[0]) if first else 0
-    codes = nvq_encode(embeddings, bits, id_col, vec_col)
+    # count observed on the encode write (same as bq_build: no read-back)
+    obs = Observation("nvq_build_n")
+    codes = nvq_encode(embeddings, bits, id_col, vec_col).observe(
+        obs, F.count("*").alias("n")
+    )
     codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    n = int(obs.get["n"])
     _write_manifest(spark, index_dir, "nvq", dim=dim, m=bits)
-    return int(read_codes(spark, index_dir).count())
+    return n
 
 
 def nvq_load(spark: SparkSession, index_dir: str) -> tuple[int, DataFrame]:

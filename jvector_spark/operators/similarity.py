@@ -655,7 +655,10 @@ def ivf_build(
         n_clusters = max(2, int(round(float(embeddings.count()) ** 0.5)))
     cents = ivf_train(embeddings, n_clusters, n_iters, seed=seed,
                       id_col=id_col, vec_col=vec_col)
-    spark.createDataFrame(
+    from ..index.storage import local_df
+
+    local_df(
+        spark,
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster int, centroid array<double>",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
