@@ -42,10 +42,11 @@ from pyspark.sql import functions as F
 from .. import BLOCK_SIZE, BM25_B, BM25_K1
 from ..functions.analysis import TOKEN_PATTERN, tokens_col
 from ..operators.doc_ids import assign_dense_ids
-from .build import POSTINGS_SCHEMA, _encode_occ_map_fn
+from .build import POSTINGS_SCHEMA, _bg_job, _bg_join, _encode_occ_map_fn
 from .query import SPARSE_EXACT_LIMIT, wand_topk_arrays
 from .storage import (
     FORMAT_VERSION,
+    local_df,
     read_table,
     shuffle_n,
     table_path,
@@ -105,10 +106,19 @@ def build_doc_partitioned(
     bucket_width = max(1, math.ceil(n_docs / n_buckets))
 
     pins: list = []
+    n_terms: list = []
     dct = occ.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
-    dct = assign_dense_ids(dct, ["term"], id_col="term_id", pins=pins).persist()
+    dct = assign_dense_ids(
+        dct, ["term"], id_col="term_id", pins=pins, n_out=n_terms
+    ).persist()
+    # doc_map is independent of the encode critical path — overlap it
+    # (same _bg_job discipline as the term-partitioned single-shot build)
+    dm_thread = dm_holder = None
     if doc_map_cols:
-        write_table(corpus.select(id_col, *doc_map_cols), index_dir, "doc_map")
+        dm_sel = corpus.select(id_col, *doc_map_cols)
+        dm_thread, dm_holder = _bg_job(
+            lambda: write_table(dm_sel, index_dir, "doc_map")
+        )
 
     enriched = (
         occ.join(F.broadcast(dct.select("term", "term_id")), "term")
@@ -127,7 +137,7 @@ def build_doc_partitioned(
     # dl_bits | dl. The repartition expression extracts the bucket from ts
     # at shuffle-write time — routing is computed map-side, so only the
     # two packed columns ride the corpus-sized exchange.
-    vocab_n = dct.count()  # cached by assign_dense_ids' action
+    vocab_n = n_terms[0]  # from assign_dense_ids' own count collect
     salt_bits = max(1, int(n_buckets).bit_length())
     dl_bits = max(1, max(max_dl, 1).bit_length())
     packable = (
@@ -183,6 +193,33 @@ def build_doc_partitioned(
     )
     m = obs.get
 
+    # lineage + segments depend only on the already-observed encode
+    # metrics — overlap them with the dictionary finalize (same _bg_job
+    # overlap as the term-partitioned single-shot build)
+    def _write_meta() -> None:
+        local_df(
+            spark,
+            [(-1, n_docs, int(m["postings"]), int(m["bytes"]), "complete")],
+            "part_id int, docs_indexed long, postings_emitted long, "
+            "bytes_compressed long, status string",
+        ).write.mode("overwrite").parquet(table_path(index_dir, "build_lineage"))
+        seg = local_df(
+            spark,
+            [
+                (
+                    FORMAT_VERSION, n_docs, avgdl, float(k1), float(b),
+                    int(block_size), TOKEN_PATTERN, int(n_buckets), "doc",
+                    int(bucket_width),
+                )
+            ],
+            "format_version int, n_docs long, avgdl double, k1 double, "
+            "b double, block_size int, token_pattern string, n_parts int, "
+            "layout string, bucket_width long",
+        )
+        write_table(seg, index_dir, "segments")
+
+    meta_thread, meta_holder = _bg_job(_write_meta)
+
     dfreq = (
         read_table(spark, index_dir, "postings")
         .groupBy("term_id")
@@ -192,30 +229,13 @@ def build_doc_partitioned(
         "term", "term_id", "df", "cf", F.lit(1).alias("n_salts")
     )
     write_table(dct_final, index_dir, "dictionary")
+    _bg_join(meta_thread, meta_holder)
+    if dm_thread is not None:
+        _bg_join(dm_thread, dm_holder)
     dct.unpersist()
     occ.unpersist()
     for p in pins:
         p.unpersist()
-
-    spark.createDataFrame(
-        [(-1, n_docs, int(m["postings"]), int(m["bytes"]), "complete")],
-        "part_id int, docs_indexed long, postings_emitted long, "
-        "bytes_compressed long, status string",
-    ).write.mode("overwrite").parquet(table_path(index_dir, "build_lineage"))
-
-    seg = spark.createDataFrame(
-        [
-            (
-                FORMAT_VERSION, n_docs, avgdl, float(k1), float(b),
-                int(block_size), TOKEN_PATTERN, int(n_buckets), "doc",
-                int(bucket_width),
-            )
-        ],
-        "format_version int, n_docs long, avgdl double, k1 double, b double, "
-        "block_size int, token_pattern string, n_parts int, layout string, "
-        "bucket_width long",
-    )
-    write_table(seg, index_dir, "segments")
     corpus.unpersist()
     return {
         "buckets": n_buckets,

@@ -310,23 +310,15 @@ def decode_positions(
 
 
 def _parts_for(spark: SparkSession, salts: dict[int, int], n_parts: int) -> list[int]:
-    """part_ids holding any (term_id, salt) pair — xxhash64 is JVM-side, so
-    resolve via a tiny local-relation Spark expression (rows = Σ n_salts of
-    the *queried* terms only, never corpus-sized)."""
+    """part_ids holding any (term_id, salt) pair — resolved driver-side
+    with the bit-exact python twin of pmod(xxhash64(...)) (rows = Σ
+    n_salts of the *queried* terms only, never corpus-sized)."""
+    from .storage import hash_parts
+
     pairs = [(t, s) for t, ns in salts.items() for s in range(ns)]
     if not pairs:
         return []
-    return [
-        r.part_id
-        for r in spark.createDataFrame(pairs, "term_id long, salt int")
-        .select(
-            F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_parts))
-            .cast("int")
-            .alias("part_id")
-        )
-        .distinct()
-        .collect()
-    ]
+    return hash_parts(pairs, n_parts)
 
 
 def _occurrences_for_terms(

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1
 from .codec import varint_decode
-from .storage import read_segments, read_table, table_path, tombstone_ids
+from .storage import hash_parts, read_segments, read_table, table_path, tombstone_ids
 
 
 # ---------------------------------------------------------------------------
@@ -142,24 +142,10 @@ def _query_spec(
         .select("query_id", "term_id", "weight", "idf", "n_salts")
         .collect()
     )
-    # which hive buckets hold these terms? tiny local relation → xxhash64 is
-    # JVM-side, so resolve part ids via a throwaway local-relation expression
+    # which hive buckets hold these terms? resolved driver-side with the
+    # bit-exact python twin of pmod(xxhash64(...)) — no throwaway Spark job
     pairs = [(int(r.term_id), s) for r in qd_rows for s in range(int(r.n_salts))]
-    parts = (
-        [
-            r.part_id
-            for r in spark.createDataFrame(pairs, "term_id long, salt int")
-            .select(
-                F.pmod(F.xxhash64("term_id", "salt"), F.lit(int(seg["n_parts"])))
-                .cast("int")
-                .alias("part_id")
-            )
-            .distinct()
-            .collect()
-        ]
-        if pairs
-        else []
-    )
+    parts = hash_parts(pairs, int(seg["n_parts"])) if pairs else []
     postings = read_table(spark, index_dir, "postings")
     if parts:
         postings = postings.filter(F.col("part_id").isin(parts))

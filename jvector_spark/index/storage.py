@@ -111,6 +111,64 @@ def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema).repartition(1)
 
 
+# Spark's XxHash64 primes (sql/catalyst XXH64) — used to resolve
+# pmod(xxhash64(term_id, salt), n_parts) driver-side without a Spark job
+_XXH64_M = (1 << 64) - 1
+_XXH64_P1 = 0x9E3779B185EBCA87
+_XXH64_P2 = 0xC2B2AE3D27D4EB4F
+_XXH64_P3 = 0x165667B19E3779F9
+_XXH64_P4 = 0x85EBCA77C2B2AE63
+_XXH64_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXH64_M
+
+
+def _xxh64_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = h * _XXH64_P2 & _XXH64_M
+    h ^= h >> 29
+    h = h * _XXH64_P3 & _XXH64_M
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_long(v: int, seed: int) -> int:
+    h = (seed + _XXH64_P5 + 8) & _XXH64_M
+    k1 = _xxh64_rotl((v & _XXH64_M) * _XXH64_P2 & _XXH64_M, 31) * _XXH64_P1 & _XXH64_M
+    h ^= k1
+    h = (_xxh64_rotl(h, 27) * _XXH64_P1 + _XXH64_P4) & _XXH64_M
+    return _xxh64_fmix(h)
+
+
+def _xxh64_int(v: int, seed: int) -> int:
+    h = (seed + _XXH64_P5 + 4) & _XXH64_M
+    h ^= (v & 0xFFFFFFFF) * _XXH64_P1 & _XXH64_M
+    h = (_xxh64_rotl(h, 23) * _XXH64_P2 + _XXH64_P3) & _XXH64_M
+    return _xxh64_fmix(h)
+
+
+def hash_part_id(term_id: int, salt: int, n_parts: int) -> int:
+    """``pmod(xxhash64(term_id :: long, salt :: int), n_parts)`` computed
+    in pure Python, bit-exact with the Catalyst expression (seed 42; long
+    column hashed as 8 bytes, int column as 4 — equality with Spark is
+    pytest-enforced). Query paths use this to resolve the pruned part set
+    for a handful of (term, salt) pairs driver-side; the throwaway
+    local-relation Spark job it replaces cost ~0.5 s of fixed scheduling
+    per query call."""
+    h = _xxh64_int(salt, _xxh64_long(term_id, 42))
+    if h >= 1 << 63:
+        h -= 1 << 64  # Spark's hash is a SIGNED long; pmod of it
+    return h % n_parts  # python % already yields the positive residue
+
+
+def hash_parts(pairs, n_parts: int) -> list[int]:
+    """Distinct sorted part ids for (term_id, salt) pairs (see
+    :func:`hash_part_id`)."""
+    return sorted({hash_part_id(int(t), int(s), int(n_parts)) for t, s in pairs})
+
+
 def write_table(df: DataFrame, index_dir: str, name: str, mode: str = "overwrite",
                 partition_by: list[str] | None = None) -> None:
     w = df.write.mode(mode)

@@ -48,7 +48,7 @@ def _matches_indexed(spark, index_dir: str, terms: list[str]) -> DataFrame:
     pruning — the index-backed candidate generator (reads Σ blocks(terms)
     bytes regardless of corpus size, vs the brute-force path's full scan)."""
     from ..index.query import decode_postings
-    from ..index.storage import read_segments, read_table
+    from ..index.storage import hash_parts, read_segments, read_table
 
     seg = read_segments(spark, index_dir)
     dct = read_table(spark, index_dir, "dictionary")
@@ -60,18 +60,9 @@ def _matches_indexed(spark, index_dir: str, terms: list[str]) -> DataFrame:
     tids = [int(r.term_id) for r in rows]
     postings = read_table(spark, index_dir, "postings")
     if seg.get("layout") != "doc":
+        # part ids resolved driver-side (bit-exact python pmod(xxhash64))
         pairs = [(int(r.term_id), s) for r in rows for s in range(int(r.n_salts))]
-        parts = [
-            p.part_id
-            for p in spark.createDataFrame(pairs, "term_id long, salt int")
-            .select(
-                F.pmod(F.xxhash64("term_id", "salt"), F.lit(int(seg["n_parts"])))
-                .cast("int")
-                .alias("part_id")
-            )
-            .distinct()
-            .collect()
-        ]
+        parts = hash_parts(pairs, int(seg["n_parts"]))
         postings = postings.filter(F.col("part_id").isin(parts))
     postings = postings.filter(F.col("term_id").isin(tids))
     from ..index.query import _decode_map_fn

@@ -30,6 +30,7 @@ def assign_dense_ids(
     num_partitions: int | None = None,
     pins: list | None = None,
     pre_persist=None,
+    n_out: list | None = None,
 ) -> DataFrame:
     """Add ``id_col``: dense int64 rank 0..N-1 over ``order_cols`` order.
 
@@ -45,7 +46,11 @@ def assign_dense_ids(
     populates the cache (the persisted relation is then the narrow token
     relation, not the full-text corpus — at 100 TB the difference between
     caching ~30% of the input and caching 130% of it). The projection MUST
-    keep ``_pid`` and every ``order_cols`` column."""
+    keep ``_pid`` and every ``order_cols`` column.
+
+    ``n_out`` (a list) receives the total row count — the per-partition
+    count collect already knows it, so callers that need N skip a
+    separate count() job."""
     if num_partitions is None:
         num_partitions = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         num_partitions = int(num_partitions)
@@ -71,6 +76,8 @@ def assign_dense_ids(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if n_out is not None:
+        n_out.append(acc)
     spark = df.sparkSession
     offsets_df = F.broadcast(
         spark.createDataFrame(
