@@ -329,6 +329,7 @@ def _aggregate_occ_arrays(
 def _encode_occ_map_fn(
     block_size: int, presorted: bool = False, carry_part_id: bool = True,
     packed_bits: tuple[int, int] | None = None,
+    packed1_bits: tuple[int, int, int] | None = None,
 ):
     """mapInPandas fn: occurrence rows → in-worker tf aggregation → fused
     posting blocks (single-shuffle build path). ``presorted`` — see
@@ -356,9 +357,61 @@ def _encode_occ_map_fn(
     to (term_id, salt, doc_id) because the packs are order-preserving.
     tf run-length aggregation happens on the packed columns (two
     comparisons per row instead of three) and only the surviving rows are
-    unpacked. Requires ``presorted`` and ``carry_part_id=False``."""
-    if packed_bits is not None:
+    unpacked. Requires ``presorted`` and ``carry_part_id=False``.
+
+    ``packed1_bits=(salt_bits, doc_bits, dl_bits)`` is the ONE-column
+    variant: ``tsdd = ((term_id << salt_bits | salt) << (doc_bits +
+    dl_bits)) | (doc_id << dl_bits | dl)`` — a single int64 UnsafeRow
+    slot (16 B/row incl. the null bitset vs 24 B for two slots), a
+    single-long Tungsten sort key, and a one-array run-length pass in the
+    worker. Numerically ordering tsdd IS ordering (term_id, salt, doc_id,
+    dl) because every field has a fixed driver-chosen width. Feasible
+    whenever the combined widths fit 63 bits (the caller checks)."""
+    if packed_bits is not None or packed1_bits is not None:
         assert presorted and not carry_part_id, "packed path is presorted-only"
+        assert packed_bits is None or packed1_bits is None
+
+    def fn_packed1(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        salt_bits, doc_bits, dl_bits = packed1_bits
+        acc: list[np.ndarray] = []
+        for p in it:
+            if len(p):
+                acc.append(p["tsdd"].to_numpy(np.int64))
+        if not acc:
+            yield _empty_postings_pdf(carry_part_id=False)
+            return
+        tsdd = acc[0] if len(acc) == 1 else np.concatenate(acc)
+        if os.environ.get("JV_DEBUG"):
+            if not bool((tsdd[1:] >= tsdd[:-1]).all()):
+                i = int(np.flatnonzero(tsdd[1:] < tsdd[:-1])[0])
+                raise AssertionError(
+                    "packed1 presorted encode input violates tsdd order "
+                    f"at row {i + 1}: {tsdd[i]} -> {tsdd[i+1]}"
+                    " — upstream sortWithinPartitions keys drifted"
+                )
+        n = len(tsdd)
+        start = np.ones(n, dtype=bool)
+        start[1:] = tsdd[1:] != tsdd[:-1]
+        starts = np.flatnonzero(start)
+        if starts.size == n:
+            tfo = np.ones(n, dtype=np.int64)
+        else:
+            tfo = np.diff(np.append(starts, n)).astype(np.int64)
+            tsdd = tsdd[starts]
+        dd_width = doc_bits + dl_bits
+        ts = tsdd >> dd_width
+        tid = ts >> salt_bits
+        sid = (ts & ((1 << salt_bits) - 1)).astype(np.int32)
+        dd = tsdd & ((1 << dd_width) - 1)
+        did = dd >> dl_bits
+        dlo = dd & ((1 << dl_bits) - 1)
+        out = _encode_sorted_arrays(tid, sid, did, tfo, dlo, None, block_size)
+        res = pd.DataFrame(out)
+        res["salt"] = res["salt"].astype("int32")
+        yield res
+
+    if packed1_bits is not None:
+        return fn_packed1
 
     def fn_packed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         salt_bits, dl_bits = packed_bits
@@ -929,10 +982,21 @@ def _build_index_single_shot(
     vocab_n, max_salts = int(vstats["v"] or 0), int(vstats["ms"] or 1)
     salt_bits = max(1, (max(max_salts - 1, 1)).bit_length())
     dl_bits = max(1, max(max_dl, 1).bit_length())
+    doc_bits = max(1, max(max_doc, 1).bit_length())
+    max_ts = ((vocab_n - 1) << salt_bits) + (1 << salt_bits) - 1
     packable = (
         min_doc >= 0
-        and ((vocab_n - 1) << salt_bits) + (1 << salt_bits) - 1 < (1 << 63)
+        and max_ts < (1 << 63)
         and (max_doc << dl_bits) + max_dl < (1 << 63)
+    )
+    # ONE-column pack when every field fits 63 bits together: 16 B/row
+    # through the corpus-sized exchange instead of 24, and a single-long
+    # sort key (JV_PACK=2 forces the two-column row for A/B runs)
+    packable1 = (
+        packable
+        and os.environ.get("JV_PACK") != "2"
+        and (max_ts << (doc_bits + dl_bits)) + (1 << (doc_bits + dl_bits)) - 1
+        < (1 << 63)
     )
     phases.append(("pack_plan", time.perf_counter() - t))
     if dm_thread is not None:
@@ -940,7 +1004,27 @@ def _build_index_single_shot(
         # is session-global, and the corpus-sized exchange deserves the
         # whole quota anyway
         _bg_join(dm_thread, dm_holder)
-    if packable:
+    if packable1:
+        dd_width = doc_bits + dl_bits
+        enriched = enriched.select(
+            (
+                F.shiftleft(
+                    F.shiftleft("term_id", salt_bits) + F.col("salt").cast("long"),
+                    dd_width,
+                )
+                + F.shiftleft(F.col("doc_id"), dl_bits)
+                + F.col("dl")
+            ).alias("tsdd"),
+        )
+        # partition on the ts prefix (injective in (term, salt)): same
+        # group co-location and hot-term salt spreading as the 2-col row
+        part_cols = [F.shiftright("tsdd", dd_width)]
+        sort_cols = ["tsdd"]
+        encode_fn = _encode_occ_map_fn(
+            block_size, presorted=True, carry_part_id=False,
+            packed1_bits=(salt_bits, doc_bits, dl_bits),
+        )
+    elif packable:
         enriched = enriched.select(
             (F.shiftleft("term_id", salt_bits)
              + F.col("salt").cast("long")).alias("ts"),

@@ -20,7 +20,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 VARIANTS: dict[str, dict] = {
-    "base": {},
+    "base": {},  # auto pack selection (1-col tsdd when widths fit)
+    "pack2": {"env": {"JV_PACK": "2"}},  # force the two-column (ts, dd) row
     "zstd": {"conf": {"spark.io.compression.codec": "zstd"}},
     "arrow64k": {"env": {"JV_ARROW_BATCH": "65536"}},
 }
