@@ -194,14 +194,28 @@ def add_positions(
         )
         .select("part_id", "term_id", "salt", "doc_id", "pos")
     )
-    blocks = enriched.repartition(shuffle_n(enriched), "part_id", "term_id", "salt").mapInPandas(
-        lambda it: _carry_part(it, block_size), schema="part_id int, " + POSITIONS_SCHEMA
+    from pyspark.sql import Observation
+
+    # block/occurrence totals observed on the write itself (no read-back
+    # count + aggregate jobs over the table just written)
+    obs = Observation("positions_build_totals")
+    blocks = (
+        enriched.repartition(shuffle_n(enriched), "part_id", "term_id", "salt")
+        .mapInPandas(
+            lambda it: _carry_part(it, block_size),
+            schema="part_id int, " + POSITIONS_SCHEMA,
+        )
+        .observe(
+            obs,
+            F.count("*").alias("blocks"),
+            F.coalesce(F.sum("n_occ"), F.lit(0)).alias("occ"),
+        )
     )
     blocks.write.mode("overwrite").partitionBy("part_id").parquet(
         table_path(index_dir, "positions")
     )
-    out = read_table(spark, index_dir, "positions")
-    return {"blocks": out.count(), "occurrences": int(out.agg(F.sum("n_occ")).collect()[0][0] or 0)}
+    m = obs.get
+    return {"blocks": int(m["blocks"]), "occurrences": int(m["occ"])}
 
 
 def _carry_part(it: Iterator[pd.DataFrame], block_size: int) -> Iterator[pd.DataFrame]:

@@ -659,18 +659,21 @@ def ivf_build(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster int, centroid array<double>",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
-    ivf_assign(embeddings, cents, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cluster").parquet(os.path.join(index_dir, "assignments"))
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col).persist()
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(index_dir, "assignments")
+    )
     # k-row sidecar of per-cluster LIVE counts: the probe-adaptive query
     # path reads this instead of re-aggregating the full assignments scan
     # per query; extend appends positive deltas, delete appends negatives
-    # (readers sum), so the mass-coverage knob never counts dead docs
+    # (readers sum), so the mass-coverage knob never counts dead docs.
+    # Aggregated from the persisted assignment relation (populated by the
+    # write above) instead of re-reading the parquet just written.
     _write_cluster_size_delta(
-        spark.read.parquet(os.path.join(index_dir, "assignments"))
-        .groupBy("cluster").agg(F.count("*").alias("n")),
+        assigned.groupBy("cluster").agg(F.count("*").alias("n")),
         index_dir, mode="overwrite",
     )
+    assigned.unpersist()
     return cents
 
 
