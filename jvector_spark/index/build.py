@@ -917,13 +917,28 @@ def _build_index_single_shot(
             _tick("doc_map_write", t_dm)
 
         dm_thread, dm_holder = _bg_job(_write_doc_map)
-    t = time.perf_counter()
-    write_table(dstats, index_dir, "doc_stats")
-    _tick("doc_stats_write", t)
-    st = obs_stats.get
-    n_docs, avgdl = int(st["n"]), float(st["avgdl"])
-    max_dl = int(st["max_dl"] or 0)
-    max_doc, min_doc = int(st["max_doc"] or 0), int(st["min_doc"] or 0)
+    # doc_stats and the term-id pre-dictionary are independent jobs over
+    # the SAME populated cache: on the fused path (toks_col given — the
+    # token relation was materialized by assign_dense_ids upstream) the
+    # doc_stats write runs from a background thread so its wall overlaps
+    # the term_ids phase. A >1-core leg back-fills idle cores with the
+    # second job's tasks (guide-§2.6 overlap); a 1-core leg simply runs
+    # them back to back, so the overlap only ever improves the serial
+    # share. The non-fused path keeps the sequential order: its first
+    # consumer POPULATES the occ cache, and two concurrent first
+    # consumers would tokenize every partition twice.
+    ds_thread = ds_holder = None
+
+    def _write_doc_stats() -> None:
+        t_ds = time.perf_counter()
+        write_table(dstats, index_dir, "doc_stats")
+        _tick("doc_stats_write", t_ds)
+
+    if toks_col is not None:
+        ds_thread, ds_holder = _bg_job(_write_doc_stats)
+    else:
+        _write_doc_stats()
+        st = obs_stats.get
 
     # pre-dictionary: term_id (dense, lexicographic) + cf + salt plan; one
     # aggregated shuffle whose output is vocabulary-, not corpus-, sized.
@@ -950,8 +965,21 @@ def _build_index_single_shot(
     )
     pins: list = []
     t = time.perf_counter()
-    dct_pre = assign_dense_ids(dct_pre, ["term"], id_col="term_id", pins=pins).persist()
+    # vocabulary size + max n_salts ride assign_dense_ids' own count
+    # collect (no separate pack-plan aggregate job)
+    nv_out: list = []
+    mx_out: dict = {}
+    dct_pre = assign_dense_ids(
+        dct_pre, ["term"], id_col="term_id", pins=pins,
+        n_out=nv_out, max_of={"n_salts": F.col("n_salts")}, max_out=mx_out,
+    ).persist()
     _tick("term_ids", t)
+    if ds_thread is not None:
+        _bg_join(ds_thread, ds_holder)
+        st = obs_stats.get
+    n_docs, avgdl = int(st["n"]), float(st["avgdl"])
+    max_dl = int(st["max_dl"] or 0)
+    max_doc, min_doc = int(st["max_doc"] or 0), int(st["min_doc"] or 0)
 
     enriched = (
         occ.join(F.broadcast(dct_pre.select("term", "term_id", "n_salts")), "term")
@@ -976,10 +1004,8 @@ def _build_index_single_shot(
     # doc_id observed on the doc_stats pass); if the input could overflow
     # a 63-bit pack (absurd ids) the build falls back to the 4-column row.
     t = time.perf_counter()
-    vstats = dct_pre.agg(
-        F.count("*").alias("v"), F.max("n_salts").alias("ms")
-    ).first()
-    vocab_n, max_salts = int(vstats["v"] or 0), int(vstats["ms"] or 1)
+    vocab_n = int(nv_out[0])
+    max_salts = int(mx_out.get("n_salts") or 1)
     salt_bits = max(1, (max(max_salts - 1, 1)).bit_length())
     dl_bits = max(1, max(max_dl, 1).bit_length())
     doc_bits = max(1, max(max_doc, 1).bit_length())

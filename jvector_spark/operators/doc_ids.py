@@ -31,6 +31,8 @@ def assign_dense_ids(
     pins: list | None = None,
     pre_persist=None,
     n_out: list | None = None,
+    max_of: dict | None = None,
+    max_out: dict | None = None,
 ) -> DataFrame:
     """Add ``id_col``: dense int64 rank 0..N-1 over ``order_cols`` order.
 
@@ -50,7 +52,11 @@ def assign_dense_ids(
 
     ``n_out`` (a list) receives the total row count — the per-partition
     count collect already knows it, so callers that need N skip a
-    separate count() job."""
+    separate count() job. ``max_of`` ({name: Column}) rides extra max
+    aggregates on the same collect; ``max_out`` (a dict) receives the
+    global maxima (None when the input is empty) — one more job saved
+    for callers that need a driver-side bound (e.g. the build's pack
+    plan)."""
     if num_partitions is None:
         num_partitions = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         num_partitions = int(num_partitions)
@@ -68,10 +74,19 @@ def assign_dense_ids(
     if pins is not None:
         pins.append(with_pid)
     # One row per partition; collecting this is O(partitions), never O(rows).
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    aggs = [F.count("*").alias("cnt")]
+    for name, col in (max_of or {}).items():
+        aggs.append(F.max(col).alias(f"_mx_{name}"))
+    count_rows = with_pid.groupBy("_pid").agg(*aggs).collect()
+    counts = {r["_pid"]: r["cnt"] for r in count_rows}
+    if max_out is not None:
+        for name in max_of or {}:
+            vals = [
+                r[f"_mx_{name}"]
+                for r in count_rows
+                if r[f"_mx_{name}"] is not None
+            ]
+            max_out[name] = max(vals) if vals else None
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
