@@ -49,7 +49,14 @@ from ..operators.doc_ids import assign_dense_ids
 from ..operators.text_stats import dictionary as build_dictionary
 from ..operators.text_stats import doc_stats, term_freq
 from .codec import varint_encode
-from .storage import FORMAT_VERSION, read_table, shuffle_n, table_path, write_table
+from .storage import (
+    FORMAT_VERSION,
+    read_table,
+    shuffle_n,
+    sized_shuffle_n,
+    table_path,
+    write_table,
+)
 
 POSTINGS_SCHEMA = (
     "term_id long, salt int, block_id int, n int, base long, max_doc_id long, "
@@ -850,31 +857,34 @@ def _build_index_single_shot(
 
     own_persists: list = []
     if toks_col is None:
-        corpus = corpus.persist()
+        # tokenize EXACTLY once into a narrow cached projection (doc_id,
+        # token array [, doc_map cols]) — the SAME shape the fused
+        # transcripts path pins. Every consumer re-derives what it needs
+        # from the cached arrays: doc_stats is size(_toks) (no
+        # occurrence-groupBy + corpus join — that shape paid one extra
+        # corpus-sized shuffle purely to recover dl, and empty docs now
+        # carry empty arrays for free), the vocabulary aggregate and the
+        # encode exchange explode lazily (two cheap explodes beat caching
+        # the 30×-wider exploded relation; at cluster scale
+        # MEMORY_AND_DISK spills gracefully instead of OOMing).
+        keep = [c for c in (doc_map_cols or []) if c != id_col]
+        corpus = corpus.select(
+            F.col(id_col), tokens_col(text_col).alias("_toks"), *keep
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         own_persists.append(corpus)
-        # tokenize EXACTLY once: the occurrence relation feeds doc_stats,
-        # the dictionary, and the encode shuffle from this one
-        # materialization (string work is the bandwidth-heavy part of the
-        # whole build; at cluster scale MEMORY_AND_DISK spills gracefully
-        # instead of OOMing)
-        occ = (
-            corpus.select(
-                F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
-            )
-            .select(
-                "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        toks_col = "_toks"
+        occ = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
         )
-        own_persists.append(occ)
-        # doc_stats: dl rides on every occurrence; empty docs come back via
-        # the left join against the (column-pruned) id scan
-        dl_rel = occ.groupBy("doc_id").agg(F.first("dl").cast("long").alias("dl"))
-        dstats = (
-            corpus.select(F.col(id_col).alias("doc_id"))
-            .join(dl_rel, "doc_id", "left")
-            .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
+        dstats = corpus.select(
+            F.col(id_col).alias("doc_id"), F.size("_toks").cast("long").alias("dl")
         )
+        # the cache is populated by the FIRST consumer (the sequential
+        # doc_stats write below), unlike the fused path where the caller
+        # materialized it eagerly — keep overlap off (see ds_thread gate)
+        overlap_stats = False
     else:
         # pre-tokenized fused path (build_index_transcripts): the caller
         # already pinned the narrow token relation — occurrences are
@@ -889,6 +899,7 @@ def _build_index_single_shot(
         dstats = corpus.select(
             F.col(id_col).alias("doc_id"), F.size(toks_col).cast("long").alias("dl")
         )
+        overlap_stats = True
     if phases is None:
         phases = []
 
@@ -918,14 +929,14 @@ def _build_index_single_shot(
 
         dm_thread, dm_holder = _bg_job(_write_doc_map)
     # doc_stats and the term-id pre-dictionary are independent jobs over
-    # the SAME populated cache: on the fused path (toks_col given — the
+    # the SAME populated cache: on the fused path (overlap_stats — the
     # token relation was materialized by assign_dense_ids upstream) the
     # doc_stats write runs from a background thread so its wall overlaps
     # the term_ids phase. A >1-core leg back-fills idle cores with the
     # second job's tasks (guide-§2.6 overlap); a 1-core leg simply runs
     # them back to back, so the overlap only ever improves the serial
-    # share. The non-fused path keeps the sequential order: its first
-    # consumer POPULATES the occ cache, and two concurrent first
+    # share. The self-tokenizing path keeps the sequential order: its
+    # first consumer POPULATES the token cache, and two concurrent first
     # consumers would tokenize every partition twice.
     ds_thread = ds_holder = None
 
@@ -934,7 +945,7 @@ def _build_index_single_shot(
         write_table(dstats, index_dir, "doc_stats")
         _tick("doc_stats_write", t_ds)
 
-    if toks_col is not None:
+    if overlap_stats:
         ds_thread, ds_holder = _bg_job(_write_doc_stats)
     else:
         _write_doc_stats()
@@ -1083,7 +1094,12 @@ def _build_index_single_shot(
         # below over the ~block_size×-smaller block relation — shipping it
         # per occurrence cost ~17 % more exchange bytes for a high-entropy
         # value the codec can't compress.
-        enriched.repartition(shuffle_n(enriched), *part_cols)
+        # partition count derived from the observed occurrence count
+        # (n_docs × avgdl), capped at the configured cluster-sized value:
+        # tiny corpora stop paying 32 task+worker fixed costs per build
+        enriched.repartition(
+            sized_shuffle_n(enriched, n_docs * avgdl), *part_cols
+        )
         .sortWithinPartitions(*sort_cols)
         .mapInPandas(encode_fn, schema=POSTINGS_SCHEMA)
         .withColumn(

@@ -49,6 +49,7 @@ from .storage import (
     local_df,
     read_table,
     shuffle_n,
+    sized_shuffle_n,
     table_path,
     tombstone_ids,
     write_table,
@@ -171,7 +172,9 @@ def build_doc_partitioned(
         # IS the bucket (== salt), so it is re-derived over the block
         # relation after encoding instead of riding every occurrence row
         # through the exchange (same minimal-row rationale as build.py).
-        enriched.repartition(shuffle_n(enriched), *part_expr)
+        enriched.repartition(
+            sized_shuffle_n(enriched, n_docs * avgdl), *part_expr
+        )
         .sortWithinPartitions(*sort_cols)
         .mapInPandas(encode_fn, schema=POSTINGS_SCHEMA)
         .withColumn("part_id", F.col("salt"))

@@ -40,7 +40,13 @@ from .. import BLOCK_SIZE
 from ..operators.phrase import token_positions
 from .build import _varint_encode_with_lengths
 from .codec import varint_decode
-from .storage import read_segments, read_table, shuffle_n, table_path
+from .storage import (
+    read_segments,
+    read_table,
+    shuffle_n,
+    sized_shuffle_n,
+    table_path,
+)
 
 POSITIONS_SCHEMA = (
     "term_id long, salt int, block_id int, n int, base long, max_doc_id long, "
@@ -200,7 +206,10 @@ def add_positions(
     # count + aggregate jobs over the table just written)
     obs = Observation("positions_build_totals")
     blocks = (
-        enriched.repartition(shuffle_n(enriched), "part_id", "term_id", "salt")
+        enriched.repartition(
+            sized_shuffle_n(enriched, float(seg["n_docs"]) * float(seg["avgdl"])),
+            "part_id", "term_id", "salt",
+        )
         .mapInPandas(
             lambda it: _carry_part(it, block_size),
             schema="part_id int, " + POSITIONS_SCHEMA,

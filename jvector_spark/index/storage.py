@@ -72,6 +72,28 @@ def shuffle_n(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
+# target occurrence rows per encode task: ~100 ms of vectorized varint
+# work — enough to amortize the fixed task cost (scheduling + Arrow
+# round-trip + python worker dispatch, ~0.1-0.2 s). Above the ceiling the
+# configured shuffle-partition count (sized to the cluster) still rules.
+ENCODE_ROWS_PER_TASK = 262_144
+
+
+def sized_shuffle_n(df: DataFrame, approx_rows: float | None) -> int:
+    """Scale-adaptive partition count for the CPU-heavy Arrow-encode
+    exchanges: derived from the input size (guide idiom — never a
+    constant tuned to one box), with the session's configured
+    shuffle-partition count as the CEILING so cluster-scale inputs keep
+    their full configured parallelism. A kilobyte input gets one task
+    instead of paying the full configured task count in fixed overheads
+    (on a cold session each task also spawns a python worker).
+    ``approx_rows=None`` falls back to the configured count."""
+    n = shuffle_n(df)
+    if approx_rows is None or approx_rows <= 0:
+        return n
+    return max(1, min(n, -(-int(approx_rows) // ENCODE_ROWS_PER_TASK)))
+
+
 def _ddl_names(schema: str) -> list[str]:
     """Column names from a DDL schema string, splitting only on top-level
     commas (``array<double>`` etc. stay intact)."""
