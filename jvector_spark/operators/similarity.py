@@ -464,20 +464,41 @@ def embedding_near_dups_lsh(
         .distinct()
     )
     nv_cand = normed.join(cand_docs, id_col, "left_semi")
-    if n_blocks is None:
-        # size verify blocks from the CANDIDATE set (cand is persisted, so
-        # this count is the one materialization of the banding pipeline and
-        # everything downstream reuses it)
-        nb = _auto_blocks(cand_docs.count(), len(first[0]))
-    else:
-        nb = int(n_blocks)
+    # one aggregate materializes the persisted banding pipeline AND
+    # carries the id bounds the pair-pack below needs (no second job)
+    cstats = cand_docs.agg(
+        F.count("*").alias("n"),
+        F.min(id_col).alias("mn"), F.max(id_col).alias("mx"),
+    ).first()
+    nb = (
+        _auto_blocks(int(cstats["n"]), len(first[0]))
+        if n_blocks is None
+        else int(n_blocks)
+    )
     blk = lambda c: F.pmod(F.xxhash64(c), F.lit(nb)).cast("int")  # noqa: E731
     blocks = nv_cand.groupBy(blk(F.col(id_col)).alias("_blk")).agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("_nv"))).alias("_vs")
     )
+    # pair cells carry each (a, b) pair PACKED into one int64 (a<<32 | b)
+    # when ids fit 31 bits: the Arrow list<long> column lands in the
+    # kernel as a plain numpy array, where the list<struct{a,b}> form
+    # boxes every pair into a Python dict — on the adversarial sf0.1
+    # candidate density (1.7 M pairs) the per-pair dict traffic was the
+    # verify kernel's dominant cost. Wide/negative ids fall back to the
+    # struct row (same math).
+    packable = (
+        cstats["mx"] is not None
+        and int(cstats["mn"]) >= 0
+        and int(cstats["mx"]) < (1 << 31)
+    )
+    pair_col = (
+        (F.shiftleft(F.col("a"), 32) + F.col("b")).alias("_pab")
+        if packable
+        else F.struct("a", "b").alias("_pab")
+    )
     cells = cand.groupBy(
         blk(F.col("a")).alias("ba"), blk(F.col("b")).alias("bb")
-    ).agg(F.collect_list(F.struct("a", "b")).alias("_ps"))
+    ).agg(F.collect_list(pair_col).alias("_ps"))
     joined = (
         cells.join(blocks.select(F.col("_blk").alias("ba"), F.col("_vs").alias("_vsa")), "ba")
         .join(blocks.select(F.col("_blk").alias("bb"), F.col("_vs").alias("_vsb")), "bb")
@@ -487,24 +508,38 @@ def embedding_near_dups_lsh(
     def fn(it):
         for pdf in it:
             for _, row in pdf.iterrows():
-                pos_a = {v["id"]: i for i, v in enumerate(row["_vsa"])}
-                pos_b = {v["id"]: i for i, v in enumerate(row["_vsb"])}
+                ida = np.fromiter(
+                    (v["id"] for v in row["_vsa"]), dtype=np.int64,
+                    count=len(row["_vsa"]),
+                )
+                idb = np.fromiter(
+                    (v["id"] for v in row["_vsb"]), dtype=np.int64,
+                    count=len(row["_vsb"]),
+                )
                 A = np.array([v["_nv"] for v in row["_vsa"]], dtype=np.float64)
                 B = np.array([v["_nv"] for v in row["_vsb"]], dtype=np.float64)
-                pa = np.fromiter((pos_a[p["a"]] for p in row["_ps"]), dtype=np.int64)
-                pb = np.fromiter((pos_b[p["b"]] for p in row["_ps"]), dtype=np.int64)
+                if packable:
+                    pab = np.asarray(row["_ps"], dtype=np.int64)
+                    a_ids = pab >> 32
+                    b_ids = pab & 0xFFFFFFFF
+                else:
+                    a_ids = np.fromiter(
+                        (p["a"] for p in row["_ps"]), dtype=np.int64,
+                        count=len(row["_ps"]),
+                    )
+                    b_ids = np.fromiter(
+                        (p["b"] for p in row["_ps"]), dtype=np.int64,
+                        count=len(row["_ps"]),
+                    )
+                # id → block-row position via sorted searchsorted gathers
+                # (no per-pair Python dict lookups)
+                oa, ob = np.argsort(ida), np.argsort(idb)
+                pa = oa[np.searchsorted(ida[oa], a_ids)]
+                pb = ob[np.searchsorted(idb[ob], b_ids)]
                 cos = np.einsum("ij,ij->i", A[pa], B[pb])
                 keep = cos >= thr
                 yield pd.DataFrame(
-                    {
-                        "a": np.fromiter(
-                            (p["a"] for p in row["_ps"]), dtype=np.int64
-                        )[keep],
-                        "b": np.fromiter(
-                            (p["b"] for p in row["_ps"]), dtype=np.int64
-                        )[keep],
-                        "cos": cos[keep],
-                    }
+                    {"a": a_ids[keep], "b": b_ids[keep], "cos": cos[keep]}
                 )
 
     return joined.mapInPandas(fn, schema="a long, b long, cos double")
